@@ -1,0 +1,186 @@
+"""Device renderer — frame orchestration, all state device-resident.
+
+TPU-native replacement for ``Renderer::Render`` (Renderer.cu:13-284).
+Key departures from the reference, per SURVEY.md §2.5/§5:
+  * the accumulation buffer lives on device and is donated between frames
+    (the reference round-trips it host↔device and re-mallocs frame buffers
+    every frame, Renderer.cu:37-53, 244-281 — pure overhead);
+  * the scene is uploaded once (``Scene.device_put``) and only re-uploaded
+    when edited (the ``isSceneUpdated`` dirty flag, Renderer.cu:62-69);
+  * camera rays are generated in-kernel from two 4×4 matrices instead of
+    uploading a W×H direction buffer per frame (Camera_GPU.cu:4-60).
+
+The jitted step specializes on (settings, W, H, scene shapes); changing a
+setting re-compiles, mirroring how the reference resets accumulation on
+any settings change (WalnutApp.cpp:638-643).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fypraytracer_tpu.config import RenderSettings, SamplingTechnique
+from fypraytracer_tpu.core.camera import Camera, generate_rays
+from fypraytracer_tpu.core.color import finalize_pixels, pack_abgr
+from fypraytracer_tpu.ops.traverse import trace_rays
+from fypraytracer_tpu.render.integrators import (
+    radiance_hemisphere,
+    radiance_light_source,
+    radiance_nee_mis,
+)
+from fypraytracer_tpu.scene.types import Scene
+
+_SAMPLER_OF = {
+    SamplingTechnique.BRUTE_FORCE: "brute",
+    SamplingTechnique.UNIFORM: "uniform",
+    SamplingTechnique.COSINE: "cosine",
+    SamplingTechnique.GGX: "ggx",
+    SamplingTechnique.BRDF: "brdf",
+}
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "width", "height"),
+                   donate_argnames=("accum",))
+def render_step(scene: Scene, inv_projection, inv_view, frame, accum,
+                *, settings: RenderSettings, width: int, height: int):
+    """One frame: raygen → integrate → accumulate.  Returns (accum', hdr)."""
+    origins, directions = generate_rays(inv_projection, inv_view, width, height, xp=jnp)
+    pixel_ids = jnp.arange(width * height, dtype=jnp.uint32)
+
+    def trace(o, d):
+        return trace_rays(scene.bvh, scene.geometry, o, d)["tri"]
+
+    tech = settings.technique
+    frame_u32 = frame.astype(jnp.uint32)
+    if tech in _SAMPLER_OF:
+        hdr = radiance_hemisphere(scene, trace, origins, directions, pixel_ids,
+                                  frame_u32, settings, _SAMPLER_OF[tech])
+    elif tech == SamplingTechnique.LIGHT_SOURCE:
+        hdr = radiance_light_source(scene, trace, origins, directions,
+                                    pixel_ids, frame_u32, settings)
+    elif tech == SamplingTechnique.NEE_MIS:
+        hdr = radiance_nee_mis(scene, trace, origins, directions, pixel_ids,
+                               frame_u32, settings)
+    else:
+        raise NotImplementedError(f"technique {tech} pending (see render/)")
+
+    hdr = hdr.reshape(height, width, 3)
+    accum = accum + hdr if settings.accumulate else hdr
+    return accum, hdr
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "width", "height"),
+                   donate_argnames=("accum", "aux_state"))
+def render_step_stateful(scene: Scene, inv_projection, inv_view,
+                         prev_proj_view, frame, accum, aux_state,
+                         *, settings: RenderSettings, width: int, height: int):
+    """ReSTIR frame: two resampling passes + shade, persistent reservoirs.
+
+    The reference's per-frame kernel pair + buffer swap
+    (Renderer.cu:166-224, :2038) becomes one jitted call whose state pytree
+    is donated — reservoirs never leave HBM.
+    """
+    from fypraytracer_tpu.render import restir_di, restir_gi
+
+    origins, directions = generate_rays(inv_projection, inv_view, width, height, xp=jnp)
+    pixel_ids = jnp.arange(width * height, dtype=jnp.uint32)
+
+    def trace(o, d):
+        return trace_rays(scene.bvh, scene.geometry, o, d)["tri"]
+
+    frame_u32 = frame.astype(jnp.uint32)
+    if settings.technique == SamplingTechnique.RESTIR_DI:
+        hdr, new_state = restir_di.render_restir_di(
+            scene, trace, origins, directions, pixel_ids, frame_u32, settings,
+            aux_state, width, height, prev_proj_view)
+    elif settings.technique == SamplingTechnique.RESTIR_GI:
+        hdr, new_state = restir_gi.render_restir_gi(
+            scene, trace, origins, directions, pixel_ids, frame_u32, settings,
+            aux_state, width, height, prev_proj_view)
+    else:
+        raise NotImplementedError(settings.technique)
+
+    hdr = hdr.reshape(height, width, 3)
+    accum = accum + hdr if settings.accumulate else hdr
+    return accum, new_state
+
+
+class Renderer:
+    """Owns per-frame device state (accumulation, frame index).
+
+    Usage::
+        r = Renderer(scene, camera, settings)
+        img = r.render_frame()         # uint32 ABGR (H, W) on host
+    """
+
+    def __init__(self, scene: Scene, camera: Camera, settings: RenderSettings):
+        self.scene = scene.device_put() if isinstance(scene.geometry.positions, np.ndarray) else scene
+        self.camera = camera
+        self.settings = settings
+        self.frame_index = 1
+        self.accum = jnp.zeros((camera.height, camera.width, 3), jnp.float32)
+        self.aux_state = self._init_aux_state()
+
+    def _is_stateful(self) -> bool:
+        return self.settings.technique in (SamplingTechnique.RESTIR_DI,
+                                           SamplingTechnique.RESTIR_GI)
+
+    def _init_aux_state(self):
+        """Per-pixel reservoir/G-buffer state (ResizeReservoirs etc.,
+        Renderer.cu:286-420)."""
+        if not self._is_stateful():
+            return None
+        n = self.camera.width * self.camera.height
+        if self.settings.technique == SamplingTechnique.RESTIR_DI:
+            from fypraytracer_tpu.render import restir_di
+            return jax.tree_util.tree_map(jnp.asarray, restir_di.init_state(n))
+        from fypraytracer_tpu.render import restir_gi
+        return jax.tree_util.tree_map(jnp.asarray, restir_gi.init_state(n))
+
+    def reset(self):
+        """ResetFrameIndex + clear accumulation (Renderer.h:46)."""
+        self.frame_index = 1
+        self.accum = jnp.zeros_like(self.accum)
+        self.aux_state = self._init_aux_state()
+
+    def resize(self, width: int, height: int):
+        """OnResize (Renderer.cpp:5-41): realloc buffers, restart."""
+        self.camera.resize(width, height)
+        self.accum = jnp.zeros((height, width, 3), jnp.float32)
+        self.frame_index = 1
+        self.aux_state = self._init_aux_state()
+
+    def render_hdr(self) -> jax.Array:
+        """Render one frame; returns the running-average HDR image."""
+        if self._is_stateful():
+            self.accum, self.aux_state = render_step_stateful(
+                self.scene, jnp.asarray(self.camera.inv_projection),
+                jnp.asarray(self.camera.inv_view),
+                jnp.asarray(self.camera.prev_proj_view),
+                jnp.uint32(self.frame_index), self.accum, self.aux_state,
+                settings=self.settings, width=self.camera.width,
+                height=self.camera.height)
+        else:
+            self.accum, _ = render_step(
+                self.scene, jnp.asarray(self.camera.inv_projection),
+                jnp.asarray(self.camera.inv_view),
+                jnp.uint32(self.frame_index), self.accum,
+                settings=self.settings, width=self.camera.width,
+                height=self.camera.height)
+        avg = self.accum / jnp.float32(self.frame_index if self.settings.accumulate else 1)
+        if self.settings.accumulate:
+            self.frame_index += 1
+        else:
+            self.frame_index = 1
+        self.camera.commit_frame()
+        return avg
+
+    def render_frame(self) -> np.ndarray:
+        """Render + tonemap + pack, host uint32 ABGR (H, W)."""
+        avg = self.render_hdr()
+        rgb = finalize_pixels(avg, jnp.float32(1.0))
+        return np.asarray(pack_abgr(rgb))

@@ -1,0 +1,58 @@
+"""Seed-matched parity: jitted BVH wavefront vs NumPy linear-intersection
+oracle (SURVEY.md §7 step 4 acceptance: forward image allclose at matched
+seeds)."""
+
+import numpy as np
+import pytest
+
+from fypraytracer_tpu.config import RenderSettings, SamplingTechnique
+from fypraytracer_tpu.oracle.cpu_renderer import render_oracle
+from fypraytracer_tpu.scene.procedural import cornell_box
+
+
+@pytest.fixture(scope="module")
+def small_scene():
+    builder, cam = cornell_box(width=64, height=64, with_spheres=True,
+                               sphere_res=(6, 10))
+    return builder.compile(light_tree=False), cam
+
+
+@pytest.mark.parametrize("technique", [
+    SamplingTechnique.BRUTE_FORCE,
+    SamplingTechnique.UNIFORM,
+    SamplingTechnique.COSINE,
+    SamplingTechnique.GGX,
+    SamplingTechnique.BRDF,
+])
+def test_forward_parity(small_scene, technique):
+    from fypraytracer_tpu.render.renderer import Renderer
+
+    scene, cam = small_scene
+    settings = RenderSettings(technique=technique, bounces=2, samples=2,
+                              sky_color=(0.1, 0.15, 0.2))
+
+    oracle_hdr = render_oracle(scene, cam, settings, frame=1)
+
+    r = Renderer(scene, cam, settings)
+    got_hdr = np.asarray(r.render_hdr())
+
+    # identical RNG streams ⇒ same paths; tolerate float-order differences
+    # and rare triangle-edge tie flips (isolated pixels)
+    diff = np.abs(got_hdr - oracle_hdr)
+    frac_bad = (diff.max(axis=-1) > 1e-2).mean()
+    assert frac_bad < 0.01, f"{frac_bad:.3%} pixels differ"
+    assert float(np.median(diff)) < 1e-4
+
+
+def test_accumulation_matches_oracle(small_scene):
+    from fypraytracer_tpu.render.renderer import Renderer
+
+    scene, cam = small_scene
+    settings = RenderSettings(technique=SamplingTechnique.COSINE, bounces=1,
+                              samples=1)
+    r = Renderer(scene, cam, settings)
+    for _ in range(3):
+        avg = r.render_hdr()
+    want = np.mean([render_oracle(scene, cam, settings, f) for f in (1, 2, 3)], axis=0)
+    diff = np.abs(np.asarray(avg) - want)
+    assert (diff.max(axis=-1) > 1e-2).mean() < 0.01
