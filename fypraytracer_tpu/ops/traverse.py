@@ -57,14 +57,19 @@ def trace_rays(bvh: FlatBVH, geometry: Geometry, origins, directions, t_max=None
     inv_dir = 1.0 / d_safe
 
     B = origins.shape[0]
-    t_init = jnp.full((B,), _BIG) if t_max is None else jnp.asarray(t_max, jnp.float32)
+    # derive the init carry from the ray data itself (a broadcast constant
+    # would be shard_map-unvarying and trip VMA carry-type checking; note
+    # origins alone can be a broadcast of the replicated camera position)
+    zf = (origins[:, 0] + directions[:, 0]) * 0.0
+    zi = zf.astype(jnp.int32)
+    t_init = zf + _BIG if t_max is None else jnp.asarray(t_max, jnp.float32) + zf
 
     state = dict(
-        node=jnp.zeros((B,), jnp.int32),
+        node=zi,
         t=t_init,
-        tri=jnp.full((B,), -1, jnp.int32),
-        u=jnp.zeros((B,), jnp.float32),
-        v=jnp.zeros((B,), jnp.float32),
+        tri=zi - 1,
+        u=zf,
+        v=zf,
     )
 
     def cond(s):

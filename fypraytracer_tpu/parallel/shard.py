@@ -1,0 +1,151 @@
+"""Multi-chip rendering & training — pixel-tile data parallelism on a
+``jax.sharding.Mesh``.
+
+The reference's entire parallelism story is a single-GPU 2D CUDA grid, one
+thread per pixel (Renderer.cu:80-84; SURVEY.md §2.7).  The TPU-native
+mapping: pixels are the data-parallel axis, sharded across chips over ICI;
+the scene (geometry, BVH, light tree, materials, textures) is replicated;
+gradients of shared parameters are combined with ``psum``; the assembled
+image is an ``all_gather`` (or left sharded for sharded IO).
+
+Everything routes through ``shard_map`` so collectives are explicit and
+the per-shard body is exactly the single-chip wavefront code — no separate
+multi-chip implementation to keep in sync.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fypraytracer_tpu.core.camera import generate_rays
+from fypraytracer_tpu.ops.traverse import trace_rays
+from fypraytracer_tpu.render.integrators import radiance_hemisphere, radiance_nee_mis
+from fypraytracer_tpu.scene.types import Scene
+
+
+def make_pixel_mesh(devices=None, axis: str = "px") -> Mesh:
+    """1D device mesh over the pixel (data-parallel) axis."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), (axis,))
+
+
+def replicate_scene(scene: Scene, mesh: Mesh) -> Scene:
+    """Upload the scene replicated on every chip (the reference re-uploads
+    on dirty only, Renderer.cu:62-69; here upload happens once)."""
+    sharding = NamedSharding(mesh, P())
+    return scene.device_put(sharding)
+
+
+def sharded_render(scene: Scene, mesh: Mesh, width: int, height: int,
+                   settings, technique_sampler: str = "cosine", axis: str = "px"):
+    """Build a pjit-ed frame renderer with pixels sharded over ``mesh``.
+
+    Returns ``render(inv_projection, inv_view, frame) -> (H*W, 3) hdr``
+    (sharded over rows).  H*W must divide by mesh size.
+    """
+    n_dev = mesh.devices.size
+    n_pix = width * height
+    assert n_pix % n_dev == 0, f"{n_pix} pixels not divisible by {n_dev} devices"
+
+    def body(scene_rep, inv_proj, inv_view, frame, pixel_ids):
+        # pixel_ids: this shard's slice of the global pixel index space
+        ys = pixel_ids // width
+        xs = pixel_ids % width
+        origins, directions = generate_rays(inv_proj, inv_view, width, height,
+                                            xp=jnp, pixel_x=xs, pixel_y=ys)
+
+        def trace(o, d):
+            return trace_rays(scene_rep.bvh, scene_rep.geometry, o, d)["tri"]
+
+        return radiance_hemisphere(scene_rep, trace, origins, directions,
+                                   pixel_ids.astype(jnp.uint32), frame,
+                                   settings, technique_sampler)
+
+    shard_body = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis)),
+        out_specs=P(axis))
+
+    @jax.jit
+    def render(inv_proj, inv_view, frame):
+        pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+        return shard_body(scene, inv_proj, inv_view, frame.astype(jnp.uint32),
+                          pixel_ids)
+
+    return render
+
+
+# ---------------------------------------------------------------------------
+# Differentiable training step (inverse rendering), data-parallel
+# ---------------------------------------------------------------------------
+
+
+def make_train_step(scene: Scene, mesh: Mesh, width: int, height: int,
+                    settings, lr: float = 0.05, axis: str = "px",
+                    technique: str = "nee"):
+    """Data-parallel inverse-rendering step: optimize material parameters
+    to match a target image.
+
+    The differentiable path (SURVEY.md §7 step 7): radiance w.r.t. material
+    albedo/roughness/metallic/emission with discrete hit/light selections
+    detached.  Per-shard gradients are ``psum``-reduced over ICI — the
+    all-reduce the reference never needed single-GPU (§2.7 table).
+
+    Returns ``step(params, inv_proj, inv_view, frame, target) ->
+    (new_params, loss)`` — jit-compiled over the mesh.
+    """
+    n_dev = mesh.devices.size
+    n_pix = width * height
+    assert n_pix % n_dev == 0
+
+    def shard_loss(params, scene_rep, inv_proj, inv_view, frame, pixel_ids, target):
+        scene_p = dataclasses.replace(scene_rep, materials=params)
+        ys = pixel_ids // width
+        xs = pixel_ids % width
+        origins, directions = generate_rays(inv_proj, inv_view, width, height,
+                                            xp=jnp, pixel_x=xs, pixel_y=ys)
+
+        def trace(o, d):
+            return trace_rays(scene_p.bvh, scene_p.geometry, o, d)["tri"]
+
+        if technique == "nee":
+            hdr = radiance_nee_mis(scene_p, trace, origins, directions,
+                                   pixel_ids.astype(jnp.uint32), frame, settings)
+        else:
+            hdr = radiance_hemisphere(scene_p, trace, origins, directions,
+                                      pixel_ids.astype(jnp.uint32), frame,
+                                      settings, technique)
+        err = hdr - target
+        # mean over the GLOBAL pixel dim: local sum, psum, divide by global
+        local = jnp.sum(err * err)
+        return jax.lax.psum(local, axis) / (n_pix * 3)
+
+    def shard_step(params, scene_rep, inv_proj, inv_view, frame, pixel_ids, target):
+        # allow_int: the material table carries int albedo_map ids (their
+        # float0 grads are ignored by the float-only update below)
+        loss, grads = jax.value_and_grad(shard_loss, allow_int=True)(
+            params, scene_rep, inv_proj, inv_view, frame, pixel_ids, target)
+        # grads of replicated params are already psum-ed by grad-of-psum;
+        # plain SGD keeps the step dependency-free (optax variant in diff/)
+        new_params = jax.tree_util.tree_map(
+            lambda p, g: (p - lr * g).astype(p.dtype) if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            params, grads)
+        return new_params, loss
+
+    sharded = jax.shard_map(
+        shard_step, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P()))
+
+    @jax.jit
+    def step(params, inv_proj, inv_view, frame, target):
+        pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+        return sharded(params, scene, inv_proj, inv_view,
+                       frame.astype(jnp.uint32), pixel_ids, target)
+
+    return step
