@@ -1,0 +1,251 @@
+"""Headless CLI — the framework's app surface.
+
+Replaces the reference's interactive Walnut/ImGui app (WalnutApp.cpp) with
+three commands mirroring its workflows (SURVEY.md §7 step 9):
+
+  render     one technique, fixed frame count or time budget, image +
+             provenance filename (WalnutApp.cpp:780-910 offline mode)
+  benchmark  all (or selected) techniques at equal time/frames, MSE/PSNR
+             against a golden image or a long-run self-reference
+             (the "Benchmark render results" button, WalnutApp.cpp:590-615)
+  train      inverse rendering: fit material parameters to a target image
+             (new capability; SURVEY.md §7 step 7)
+
+Usage::
+
+    python -m fypraytracer_tpu.app.cli render --scene cornell --technique
+        nee --width 256 --height 256 --frames 64 -o out/
+    python -m fypraytracer_tpu.app.cli benchmark --scene cornell --seconds 10
+    python -m fypraytracer_tpu.app.cli train --scene cornell --steps 50
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from fypraytracer_tpu.config import RenderSettings, SamplingTechnique
+
+_TECH = {
+    "brute": SamplingTechnique.BRUTE_FORCE,
+    "uniform": SamplingTechnique.UNIFORM,
+    "cosine": SamplingTechnique.COSINE,
+    "ggx": SamplingTechnique.GGX,
+    "brdf": SamplingTechnique.BRDF,
+    "light": SamplingTechnique.LIGHT_SOURCE,
+    "nee": SamplingTechnique.NEE_MIS,
+    "restir-di": SamplingTechnique.RESTIR_DI,
+    "restir-gi": SamplingTechnique.RESTIR_GI,
+}
+
+
+def _load_scene(args):
+    from fypraytracer_tpu.scene.sceneio import builtin_scene, load_scene_file
+
+    if args.scene.endswith(".json"):
+        builder, cam = load_scene_file(args.scene)
+    else:
+        builder, cam = builtin_scene(args.scene, args.width, args.height)
+    cam.resize(args.width, args.height)
+    return builder.compile(), cam
+
+
+def _settings(args, technique) -> RenderSettings:
+    return RenderSettings(
+        technique=technique, bounces=args.bounces, samples=args.samples,
+        sky_color=tuple(args.sky), light_candidates=args.candidates,
+        spatial_neighbors=args.neighbors, spatial_radius=args.radius,
+        temporal_history_limit=args.history)
+
+
+def _render_run(scene, cam, settings, frames=None, seconds=None):
+    """Accumulate frames; returns (avg_hdr, frames, avg_frame_ms)."""
+    from fypraytracer_tpu.render.renderer import Renderer
+
+    r = Renderer(scene, cam, settings)
+    avg = r.render_hdr()
+    avg.block_until_ready()  # exclude compile from timing
+    r.reset()
+
+    t0 = time.perf_counter()
+    n = 0
+    while True:
+        avg = r.render_hdr()
+        n += 1
+        if frames is not None and n >= frames:
+            break
+        if seconds is not None and time.perf_counter() - t0 >= seconds:
+            break
+    avg.block_until_ready()
+    dt = time.perf_counter() - t0
+    return np.asarray(avg), n, dt / n * 1000.0
+
+
+def _save(outdir, name, hdr, settings, avg_ms, minutes, golden=None):
+    from fypraytracer_tpu.core.color import finalize_pixels, to_uint8_rgb
+    from fypraytracer_tpu.utils import metrics
+    from fypraytracer_tpu.utils.image import load_bmp, save_bmp, save_png
+    from fypraytracer_tpu.utils.provenance import run_name, write_sidecar
+
+    rgb8 = to_uint8_rgb(finalize_pixels(hdr, np.float32(1.0)))
+    mse = psnr = None
+    if golden:
+        ref = load_bmp(golden) if golden.endswith(".bmp") else None
+        if ref is None:
+            raise SystemExit("golden must be a .bmp (MisUtils protocol)")
+        mse = metrics.mse_8bit(rgb8, ref)
+        psnr = metrics.psnr(mse)
+    base = run_name(settings, avg_frame_ms=avg_ms, total_minutes=minutes,
+                    mse=mse, psnr=psnr)
+    os.makedirs(outdir, exist_ok=True)
+    save_bmp(os.path.join(outdir, base + ".bmp"), rgb8)
+    save_png(os.path.join(outdir, base + ".png"), rgb8)
+    write_sidecar(os.path.join(outdir, base + ".json"), settings,
+                  avg_frame_ms=avg_ms, total_minutes=minutes, mse=mse,
+                  psnr=psnr)
+    return base, mse, psnr
+
+
+def cmd_render(args):
+    scene, cam = _load_scene(args)
+    settings = _settings(args, _TECH[args.technique])
+    hdr, n, avg_ms = _render_run(scene, cam, settings, frames=args.frames,
+                                 seconds=args.seconds)
+    base, mse, psnr = _save(args.out, args.technique, hdr, settings, avg_ms,
+                            n * avg_ms / 60000.0, args.golden)
+    print(json.dumps({"output": base, "frames": n,
+                      "avg_frame_ms": round(avg_ms, 2),
+                      "mse": mse, "psnr": psnr}))
+
+
+def cmd_benchmark(args):
+    """Equal-budget comparison across techniques (the reference's whole
+    purpose, README.md:5-7)."""
+    scene, cam = _load_scene(args)
+    techniques = (args.techniques.split(",") if args.techniques
+                  else ["uniform", "cosine", "ggx", "brdf", "light", "nee",
+                        "restir-di", "restir-gi"])
+
+    # golden: long cosine accumulation (convergence oracle, SURVEY §4.4)
+    from fypraytracer_tpu.core.color import finalize_pixels, to_uint8_rgb
+    from fypraytracer_tpu.utils import metrics as M
+
+    golden_hdr, _, _ = _render_run(
+        scene, cam, _settings(args, SamplingTechnique.COSINE).replace(
+            samples=max(args.samples, 4)),
+        frames=args.golden_frames)
+    golden8 = to_uint8_rgb(finalize_pixels(golden_hdr, np.float32(1.0)))
+
+    rows = []
+    for name in techniques:
+        settings = _settings(args, _TECH[name])
+        hdr, n, avg_ms = _render_run(scene, cam, settings,
+                                     frames=args.frames, seconds=args.seconds)
+        rgb8 = to_uint8_rgb(finalize_pixels(hdr, np.float32(1.0)))
+        mse = M.mse_8bit(rgb8, golden8)
+        rows.append({"technique": name, "frames": n,
+                     "avg_frame_ms": round(avg_ms, 2),
+                     "mse": round(mse, 4), "psnr": round(M.psnr(mse), 2)})
+        print(json.dumps(rows[-1]))
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        with open(os.path.join(args.out, "benchmark.json"), "w") as f:
+            json.dump(rows, f, indent=2)
+
+
+def cmd_train(args):
+    """Inverse-rendering demo: recover albedos from a rendered target."""
+    import jax
+    import jax.numpy as jnp
+
+    from fypraytracer_tpu.parallel.shard import (
+        make_pixel_mesh, make_train_step, replicate_scene)
+
+    scene, cam = _load_scene(args)
+    settings = _settings(args, SamplingTechnique.NEE_MIS)
+    mesh = make_pixel_mesh(jax.devices()[:args.devices] if args.devices else None)
+    scene_d = replicate_scene(scene, mesh)
+
+    # target: render with TRUE materials
+    from fypraytracer_tpu.parallel.shard import sharded_render
+    step = make_train_step(scene_d, mesh, cam.width, cam.height, settings,
+                           lr=args.lr)
+    render = sharded_render(scene_d, mesh, cam.width, cam.height,
+                            settings.replace(technique=SamplingTechnique.COSINE),
+                            "cosine")
+    ip = jnp.asarray(cam.inv_projection)
+    iv = jnp.asarray(cam.inv_view)
+    target = render(ip, iv, jnp.uint32(1))
+
+    # perturb albedos, then recover
+    import dataclasses
+    params = scene_d.materials
+    key = jax.random.PRNGKey(0)
+    params = dataclasses.replace(
+        params, albedo=jnp.clip(params.albedo + 0.25 * jax.random.normal(
+            key, params.albedo.shape), 0.05, 0.95))
+
+    for i in range(args.steps):
+        params, loss = step(params, ip, iv, jnp.uint32(i + 1), target)
+        if i % max(args.steps // 10, 1) == 0 or i == args.steps - 1:
+            print(json.dumps({"step": i, "loss": float(loss)}))
+    err = float(jnp.abs(params.albedo - scene_d.materials.albedo).mean())
+    print(json.dumps({"final_albedo_mae": err}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="fypraytracer_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--scene", default="cornell",
+                        help="builtin name or scene .json path")
+        sp.add_argument("--width", type=int, default=256)
+        sp.add_argument("--height", type=int, default=256)
+        sp.add_argument("--bounces", type=int, default=2)
+        sp.add_argument("--samples", type=int, default=1)
+        sp.add_argument("--sky", type=float, nargs=3, default=[0.05, 0.06, 0.08])
+        sp.add_argument("--candidates", type=int, default=8)
+        sp.add_argument("--neighbors", type=int, default=5)
+        sp.add_argument("--radius", type=int, default=30)
+        sp.add_argument("--history", type=int, default=2)
+
+    r = sub.add_parser("render", help="render one technique")
+    common(r)
+    r.add_argument("--technique", choices=sorted(_TECH), default="nee")
+    r.add_argument("--frames", type=int, default=None)
+    r.add_argument("--seconds", type=float, default=None)
+    r.add_argument("--golden", default=None, help="golden BMP for MSE/PSNR")
+    r.add_argument("-o", "--out", default="RenderedImages")
+    r.set_defaults(fn=cmd_render)
+
+    b = sub.add_parser("benchmark", help="equal-budget technique comparison")
+    common(b)
+    b.add_argument("--techniques", default=None, help="comma list")
+    b.add_argument("--frames", type=int, default=None)
+    b.add_argument("--seconds", type=float, default=None)
+    b.add_argument("--golden-frames", type=int, default=64)
+    b.add_argument("-o", "--out", default=None)
+    b.set_defaults(fn=cmd_benchmark)
+
+    t = sub.add_parser("train", help="inverse-rendering material fit")
+    common(t)
+    t.add_argument("--steps", type=int, default=30)
+    t.add_argument("--lr", type=float, default=0.2)
+    t.add_argument("--devices", type=int, default=None)
+    t.set_defaults(fn=cmd_train)
+
+    args = p.parse_args(argv)
+    if args.cmd == "render" and args.frames is None and args.seconds is None:
+        args.frames = 16
+    if args.cmd == "benchmark" and args.frames is None and args.seconds is None:
+        args.frames = 16
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

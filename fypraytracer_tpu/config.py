@@ -61,6 +61,9 @@ class RenderSettings:
     temporal_history_limit: int = 2
     spatial_neighbors: int = 5
     spatial_radius: int = 30
+    # tracer backend: 'auto' picks dense O(B·T) VPU math for small scenes,
+    # the stackless BVH walk for large ones (ops/dense.py crossover note)
+    tracer: str = "auto"
 
     def replace(self, **kw) -> "RenderSettings":
         return dataclasses.replace(self, **kw)

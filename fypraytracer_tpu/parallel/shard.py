@@ -23,7 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fypraytracer_tpu.core.camera import generate_rays
-from fypraytracer_tpu.ops.traverse import trace_rays
+from fypraytracer_tpu.ops.dense import pick_tracer
 from fypraytracer_tpu.render.integrators import radiance_hemisphere, radiance_nee_mis
 from fypraytracer_tpu.scene.types import Scene
 
@@ -59,8 +59,7 @@ def sharded_render(scene: Scene, mesh: Mesh, width: int, height: int,
         origins, directions = generate_rays(inv_proj, inv_view, width, height,
                                             xp=jnp, pixel_x=xs, pixel_y=ys)
 
-        def trace(o, d):
-            return trace_rays(scene_rep.bvh, scene_rep.geometry, o, d)["tri"]
+        trace = pick_tracer(scene_rep, settings.tracer)
 
         return radiance_hemisphere(scene_rep, trace, origins, directions,
                                    pixel_ids.astype(jnp.uint32), frame,
@@ -110,8 +109,7 @@ def make_train_step(scene: Scene, mesh: Mesh, width: int, height: int,
         origins, directions = generate_rays(inv_proj, inv_view, width, height,
                                             xp=jnp, pixel_x=xs, pixel_y=ys)
 
-        def trace(o, d):
-            return trace_rays(scene_p.bvh, scene_p.geometry, o, d)["tri"]
+        trace = pick_tracer(scene_p, settings.tracer)
 
         if technique == "nee":
             hdr = radiance_nee_mis(scene_p, trace, origins, directions,

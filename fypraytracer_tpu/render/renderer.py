@@ -26,7 +26,7 @@ import numpy as np
 from fypraytracer_tpu.config import RenderSettings, SamplingTechnique
 from fypraytracer_tpu.core.camera import Camera, generate_rays
 from fypraytracer_tpu.core.color import finalize_pixels, pack_abgr
-from fypraytracer_tpu.ops.traverse import trace_rays
+from fypraytracer_tpu.ops.dense import pick_tracer
 from fypraytracer_tpu.render.integrators import (
     radiance_hemisphere,
     radiance_light_source,
@@ -51,8 +51,7 @@ def render_step(scene: Scene, inv_projection, inv_view, frame, accum,
     origins, directions = generate_rays(inv_projection, inv_view, width, height, xp=jnp)
     pixel_ids = jnp.arange(width * height, dtype=jnp.uint32)
 
-    def trace(o, d):
-        return trace_rays(scene.bvh, scene.geometry, o, d)["tri"]
+    trace = pick_tracer(scene, settings.tracer)
 
     tech = settings.technique
     frame_u32 = frame.astype(jnp.uint32)
@@ -89,8 +88,7 @@ def render_step_stateful(scene: Scene, inv_projection, inv_view,
     origins, directions = generate_rays(inv_projection, inv_view, width, height, xp=jnp)
     pixel_ids = jnp.arange(width * height, dtype=jnp.uint32)
 
-    def trace(o, d):
-        return trace_rays(scene.bvh, scene.geometry, o, d)["tri"]
+    trace = pick_tracer(scene, settings.tracer)
 
     frame_u32 = frame.astype(jnp.uint32)
     if settings.technique == SamplingTechnique.RESTIR_DI:

@@ -111,3 +111,36 @@ def test_shadow_ray_tmax():
     out = trace_rays(flat, geom, o, d, t_max=t_max)
     assert int(out["tri"][0]) == 0
     assert int(out["tri"][1]) == -1
+
+
+def test_dense_matches_bvh():
+    """Dense O(B·T) tracer and the threaded-BVH walk must agree exactly."""
+    import jax.numpy as jnp
+
+    from fypraytracer_tpu.ops.dense import trace_rays_dense
+    from fypraytracer_tpu.ops.traverse import trace_rays
+
+    rng_ = np.random.default_rng(11)
+    verts, tri_v = _random_tris(300, seed=5)
+    geom = _geometry(verts, tri_v)
+    lo, hi = _tri_aabbs(verts, tri_v)
+    flat = bvh_mod.build_scene_bvh(lo, hi, [(0, len(tri_v))], leaf_size=4)
+
+    B = 9000  # exceeds default ray_chunk to exercise the lax.map tiling
+    origins = (rng_.random((B, 3)).astype(np.float32) - 0.5) * 30.0
+    targets = (rng_.random((B, 3)).astype(np.float32) - 0.5) * 8.0
+    dirs = targets - origins
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    o, d = jnp.asarray(origins), jnp.asarray(dirs)
+
+    dense = trace_rays_dense(geom, o, d)
+    walk = trace_rays(flat, geom, o, d)
+
+    np.testing.assert_array_equal(np.asarray(dense["tri"] >= 0),
+                                  np.asarray(walk["tri"] >= 0))
+    both = np.asarray((dense["tri"] >= 0) & (walk["tri"] >= 0))
+    agree = (np.asarray(dense["tri"])[both] == np.asarray(walk["tri"])[both]).mean()
+    assert agree >= 0.995
+    hit = np.asarray(dense["tri"]) == np.asarray(walk["tri"])
+    np.testing.assert_allclose(np.asarray(dense["t"])[hit],
+                               np.asarray(walk["t"])[hit], rtol=1e-4)
