@@ -123,13 +123,28 @@ def trace_rays_dense(geometry: Geometry, origins, directions, t_max=None,
 
 
 def pick_tracer(scene, force: str = "auto"):
-    """Return a ``trace(o, d) -> tri`` closure: dense for small scenes,
-    threaded-BVH walk for large ones (``force``: 'auto'|'dense'|'bvh')."""
+    """Return a ``trace(o, d) -> tri`` closure.
+
+    ``force``: 'auto' | 'pallas' | 'dense' | 'bvh'.  Auto picks, for
+    scenes under the dense crossover: the Pallas VMEM-resident kernel on
+    TPU backends (2× the XLA dense path), the XLA dense path elsewhere
+    (Pallas compiles only for TPU; interpret mode is test-only).  Larger
+    scenes fall back to the threaded-BVH walk.
+    """
+    import jax
+
     from fypraytracer_tpu.ops.traverse import trace_rays
 
     n_tris = scene.geometry.tri_v.shape[0]
-    use_dense = force == "dense" or (force == "auto" and n_tris <= DENSE_MAX_TRIS)
-    if use_dense:
+    on_tpu = jax.default_backend() not in ("cpu",)
+    small = n_tris <= DENSE_MAX_TRIS
+
+    if force == "pallas" or (force == "auto" and small and on_tpu):
+        from fypraytracer_tpu.ops.pallas_dense import trace_rays_pallas
+
+        def trace(o, d):
+            return trace_rays_pallas(scene.geometry, o, d)["tri"]
+    elif force == "dense" or (force == "auto" and small):
         def trace(o, d):
             return trace_rays_dense(scene.geometry, o, d)["tri"]
     else:

@@ -144,3 +144,30 @@ def test_dense_matches_bvh():
     hit = np.asarray(dense["tri"]) == np.asarray(walk["tri"])
     np.testing.assert_allclose(np.asarray(dense["t"])[hit],
                                np.asarray(walk["t"])[hit], rtol=1e-4)
+
+
+def test_pallas_interpret_matches_dense():
+    """Pallas kernel (interpret mode on CPU) vs XLA dense tracer."""
+    import jax.numpy as jnp
+
+    from fypraytracer_tpu.core.camera import Camera, generate_rays
+    from fypraytracer_tpu.ops.dense import trace_rays_dense
+    from fypraytracer_tpu.ops.pallas_dense import trace_rays_pallas
+    from fypraytracer_tpu.scene.procedural import cornell_box
+
+    builder, cam = cornell_box(width=24, height=24)
+    scene = builder.compile()
+    o_np, d_np = generate_rays(cam.inv_projection, cam.inv_view, 24, 24, xp=np)
+    o = jnp.asarray(o_np, jnp.float32)
+    d = jnp.asarray(d_np, jnp.float32)
+
+    a = trace_rays_dense(scene.geometry, o, d)
+    b = trace_rays_pallas(scene.geometry, o, d, interpret=True)
+    tri_a, tri_b = np.asarray(a["tri"]), np.asarray(b["tri"])
+    # float-rounding tie flips on shared edges: tolerate isolated pixels
+    assert (tri_a == tri_b).mean() >= 0.995
+    hit = (tri_a == tri_b) & (tri_a >= 0)
+    assert hit.mean() > 0.9  # camera rays into the box mostly hit
+    np.testing.assert_allclose(np.asarray(a["t"])[hit], np.asarray(b["t"])[hit], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a["u"])[hit], np.asarray(b["u"])[hit], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a["v"])[hit], np.asarray(b["v"])[hit], atol=1e-4)
