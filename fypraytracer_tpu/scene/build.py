@@ -125,8 +125,14 @@ class SceneBuilder:
 
     # -- compilation -------------------------------------------------------
 
-    def compile(self, leaf_size: int = 4, light_tree: bool = True) -> Scene:
-        """Bake transforms, flatten SoA, build BVH/light tree/atlas."""
+    def compile(self, leaf_size: int = 4, light_tree: bool = True,
+                native: bool = True) -> Scene:
+        """Bake transforms, flatten SoA, build BVH/light tree/atlas.
+
+        ``native=True`` prefers the C++ builders (accel/native.py,
+        mirroring the reference's native CPU builders) and silently falls
+        back to the NumPy builders if the toolchain is unavailable.
+        """
         all_pos, all_nrm, all_uv, all_tri, all_mat = [], [], [], [], []
         mesh_ranges = []
         v_off = 0
@@ -176,19 +182,32 @@ class SceneBuilder:
         tri_lo = np.minimum(np.minimum(p0, p1), p2)
         tri_hi = np.maximum(np.maximum(p0, p1), p2)
 
-        flat_bvh = bvh_mod.build_scene_bvh(tri_lo, tri_hi, mesh_ranges, leaf_size)
+        flat_bvh = None
+        if native and len(tri_v) > 0:
+            from fypraytracer_tpu.accel import native as native_mod
+            flat_bvh = native_mod.build_scene_bvh_native(
+                tri_lo, tri_hi, mesh_ranges, leaf_size)
+        if flat_bvh is None:
+            flat_bvh = bvh_mod.build_scene_bvh(tri_lo, tri_hi, mesh_ranges, leaf_size)
 
         # emissive triangle list (InitSceneEmissiveTriangles, Scene.cpp:209-221)
         emission = materials.emission_color * materials.emission_power[:, None]
         emissive_mat = (np.abs(emission).sum(axis=-1) > 0.0)
         emissive_tris = np.nonzero(emissive_mat[tri_mat])[0].astype(np.int32)
 
+        lt = None
         if light_tree and len(emissive_tris) > 0:
-            from fypraytracer_tpu.accel import lighttree as lt_mod
-            lt = lt_mod.build_scene_light_tree(
-                positions, tri_v, tri_mat,
-                np.asarray(emission, np.float32), mesh_ranges)
-        else:
+            if native:
+                from fypraytracer_tpu.accel import native as native_mod
+                lt = native_mod.build_light_tree_native(
+                    positions, tri_v, tri_mat,
+                    np.asarray(emission, np.float32), mesh_ranges)
+            if lt is None:
+                from fypraytracer_tpu.accel import lighttree as lt_mod
+                lt = lt_mod.build_scene_light_tree(
+                    positions, tri_v, tri_mat,
+                    np.asarray(emission, np.float32), mesh_ranges)
+        if lt is None:
             lt = empty_light_tree(len(tri_v))
 
         atlas = pack_atlas(self.textures)
