@@ -1,0 +1,67 @@
+"""SceneManager incremental updates + profiling utilities."""
+
+import numpy as np
+
+from fypraytracer_tpu.config import RenderSettings, SamplingTechnique
+from fypraytracer_tpu.scene.manager import SceneManager
+from fypraytracer_tpu.scene.procedural import cornell_box
+
+
+def test_transform_edit_moves_geometry():
+    builder, cam = cornell_box(width=16, height=16, with_spheres=True,
+                               sphere_res=(4, 6))
+    mgr = SceneManager(builder)
+    s0 = mgr.scene
+    sphere_mesh = 6  # first sphere (after 5 walls + light)
+    start = builder.meshes[sphere_mesh].vertex_start
+    count = len(builder.meshes[sphere_mesh].positions)
+    pos0 = np.asarray(s0.geometry.positions[start:start + count]).mean(0)
+
+    mgr.set_mesh_transform(sphere_mesh, position=(0.2, 0.9, 0.0))
+    assert mgr.dirty
+    s1 = mgr.apply()
+    assert not mgr.dirty
+    pos1 = np.asarray(s1.geometry.positions[start:start + count]).mean(0)
+    assert np.linalg.norm(pos1 - pos0) > 0.3
+    # untouched mesh unchanged
+    np.testing.assert_allclose(np.asarray(s0.geometry.positions[:4]),
+                               np.asarray(s1.geometry.positions[:4]))
+    assert mgr.version == 1
+
+
+def test_material_edit_rebuilds_emissives_and_resets_renderer():
+    from fypraytracer_tpu.render.renderer import Renderer
+
+    builder, cam = cornell_box(width=16, height=16, with_spheres=False)
+    mgr = SceneManager(builder)
+    r = Renderer(mgr.scene, cam, RenderSettings(
+        technique=SamplingTechnique.COSINE, bounces=1))
+    r.render_hdr()
+    assert r.frame_index == 2
+
+    # make the red wall emissive -> emissive set grows, light tree rebuilt
+    n_emissive0 = mgr.scene.num_emissive
+    mgr.set_material(1, emission_color=(1.0, 0.2, 0.2), emission_power=2.0)
+    s1 = mgr.apply(renderer=r)
+    assert s1.num_emissive == n_emissive0 + 2
+    assert r.frame_index == 1  # accumulation reset (WalnutApp.cpp:638-643)
+    assert float(np.asarray(r.accum).max()) == 0.0
+
+
+def test_frame_timer_and_rays_counter():
+    import time
+
+    from fypraytracer_tpu.utils.profiling import FrameTimer, RaysCounter
+
+    t = FrameTimer()
+    with t.frame():
+        time.sleep(0.01)
+    with t.frame():
+        time.sleep(0.03)
+    assert t.frames == 2
+    assert 5 < t.avg_ms < 100
+
+    c = RaysCounter()
+    c.add_frame(64, 64, samples=2, bounces=3, shadow_rays_per_bounce=1)
+    assert c.rays == 64 * 64 * 2 * (1 + 3 * 2)
+    assert c.rays_per_second(1.0) == c.rays
