@@ -103,6 +103,43 @@ class Camera:
         self.prev_view = self.view.copy()
         self.prev_projection = self.projection.copy()
 
+    # -- fly controls (Camera::OnUpdate, Camera.cpp:18-94) -------------------
+
+    MOVE_SPEED = 5.0        # Camera.cpp speed
+    ROT_SPEED = 0.3         # Camera.cpp:118-121
+
+    def fly(self, dt: float, forward=0.0, right=0.0, up=0.0,
+            yaw_delta=0.0, pitch_delta=0.0) -> bool:
+        """FPS-style update: WASD-equivalents along forward/right axes,
+        QE along world up, mouse-delta yaw/pitch (Camera.cpp:18-94).
+        Returns True if the pose changed (caller resets accumulation)."""
+        moved = False
+        up_v = np.float32([0.0, 1.0, 0.0])
+        right_v = np.cross(self.forward, up_v)
+        right_v /= max(np.linalg.norm(right_v), 1e-12)
+        if forward or right or up:
+            self.position = (self.position
+                             + self.forward * (forward * self.MOVE_SPEED * dt)
+                             + right_v * (right * self.MOVE_SPEED * dt)
+                             + up_v * (up * self.MOVE_SPEED * dt))
+            moved = True
+        if yaw_delta or pitch_delta:
+            yaw = -yaw_delta * self.ROT_SPEED
+            pitch = -pitch_delta * self.ROT_SPEED
+            cy, sy = np.cos(yaw), np.sin(yaw)
+            f = self.forward
+            f = np.float32([f[0] * cy + f[2] * sy, f[1], -f[0] * sy + f[2] * cy])
+            axis = np.cross(f, up_v)
+            axis /= max(np.linalg.norm(axis), 1e-12)
+            cp, sp = np.cos(pitch), np.sin(pitch)
+            f = (f * cp + np.cross(axis, f) * sp
+                 + axis * np.dot(axis, f) * (1.0 - cp))
+            self.forward = f / np.linalg.norm(f)
+            moved = True
+        if moved:
+            self._update()
+        return moved
+
     @property
     def proj_view(self) -> np.ndarray:
         return (self.projection @ self.view).astype(np.float32)
