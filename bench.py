@@ -37,14 +37,19 @@ def main() -> None:
                               sky_color=(0.05, 0.06, 0.08))
     r = Renderer(scene, cam, settings)
 
+    # fence via a 1-element host fetch: block_until_ready through the axon
+    # tunnel does NOT reliably wait for device completion
+    def fence(x):
+        return float(jax.jit(lambda v: v.ravel()[0])(x))
+
     # warmup / compile
-    r.render_hdr().block_until_ready()
+    fence(r.render_hdr())
 
     frames = 10
     t0 = time.perf_counter()
     for _ in range(frames):
         out = r.render_hdr()
-    out.block_until_ready()
+    fence(out)
     dt = (time.perf_counter() - t0) / frames
 
     rays_per_frame = width * height * samples * (1 + bounces * 2)

@@ -136,47 +136,45 @@ def _finalize_w(res, m_inv=None):
     return dict(res, w=w)
 
 
-def render_restir_di(scene: Scene, trace_fn, origins, directions, pixel_ids,
-                     frame, settings, state, width: int, height: int,
-                     prev_proj_view):
-    """Full ReSTIR DI frame: Part1 + Part2.
-
-    Args:
-      state: dict with ``reservoir`` (prev frame's final reservoirs),
-        ``depth`` (B,), ``normal_oct`` (B, 2) — from the previous frame.
-      prev_proj_view: (4, 4) previous frame projection @ view.
-    Returns (hdr (B,3), new_state).
-    """
+def _prim_setup(scene, origins, directions, prim):
+    """Shared per-pixel shading context from the primary payload."""
     xp = _xp(origins)
-    num_emissive = max(scene.emissive_tris.shape[0], 1)
-
-    # ---- primary hit + G-buffer --------------------------------------------
-    prim_tri = trace_fn(origins, directions)
-    prim = hit_payload(scene.geometry, origins, directions, prim_tri)
     prim_miss = prim["t"] < 0.0
     prim_emission = material_emission(scene, prim["mat"])
     prim_emissive = dot3(prim_emission, prim_emission, keepdims=False) > 0.0
     shade_lanes = ~(prim_miss | prim_emissive)
-
     albedo = fetch_albedo(scene, prim["mat"], prim["uv"])
     mclamp = xp.maximum(prim["mat"], 0)
     rough = scene.materials.roughness[mclamp]
     metal = scene.materials.metallic[mclamp]
-    view = -directions
+    return dict(miss=prim_miss, emission=prim_emission, emissive=prim_emissive,
+                shade=shade_lanes, albedo=albedo, rough=rough, metal=metal,
+                view=-directions)
 
-    # ---- Part 1: M candidates (RIS) ---------------------------------------
+
+def restir_di_part1(scene, trace_fn, origins, directions, pixel_ids, frame,
+                    settings, state, width, height, prev_proj_view):
+    """Stage 1: primary trace + M candidates (RIS) + temporal reuse
+    (PerPixel_ReSTIR_DI_Part1, Renderer.cu:1628-1873).  Chunk-local except
+    the temporal gather, which reads the full previous-frame state."""
+    xp = _xp(origins)
+    num_emissive = max(scene.emissive_tris.shape[0], 1)
+
+    prim_tri = trace_fn(origins, directions)
+    prim = hit_payload(scene.geometry, origins, directions, prim_tri)
+    ctx = _prim_setup(scene, origins, directions, prim)
+
     key = rng.path_key(pixel_ids, frame, 0, stream=7001)
     res = reservoir_zeros(xp, pixel_ids.shape)
     for _ in range(settings.light_candidates):
         key, (u_sel, u_acc) = rng.uniforms(key, 2)
         cand = xp.minimum((u_sel * num_emissive).astype(np.int32), num_emissive - 1)
         p_hat = target_pdf_centroid(scene, cand, prim["position"], prim["normal"],
-                                    view, albedo, metal, rough)
+                                    ctx["view"], ctx["albedo"], ctx["metal"], ctx["rough"])
         weight = p_hat * float(num_emissive)
-        res = reservoir_update(res, cand, weight, 1, p_hat, u_acc, shade_lanes)
+        res = reservoir_update(res, cand, weight, 1, p_hat, u_acc, ctx["shade"])
     res = _finalize_w(res)
 
-    # ---- Part 1: temporal reuse -------------------------------------------
     if settings.temporal_reuse:
         uv_prev = ndc_to_uv(world_to_ndc(prev_proj_view, prim["position"]))
         px = xp.clip((uv_prev[..., 0] * width).astype(np.int32), 0, width - 1)
@@ -186,7 +184,7 @@ def render_restir_di(scene: Scene, trace_fn, origins, directions, pixel_ids,
         prev_n = decode_octahedral(state["normal_oct"][prev_idx])
         prev_res = {k: v[prev_idx] for k, v in state["reservoir"].items()}
         valid_hist = (dot3(prev_n, prim["normal"], keepdims=False) >= _NORMAL_TEMPORAL) \
-            & (prev_res["m"] > 0) & shade_lanes
+            & (prev_res["m"] > 0) & ctx["shade"]
 
         hist_cap = settings.temporal_history_limit * res["m"]
         prev_m = xp.minimum(prev_res["m"], hist_cap)
@@ -199,7 +197,8 @@ def render_restir_di(scene: Scene, trace_fn, origins, directions, pixel_ids,
         z = z + xp.where(valid_hist & (res["pdf"] > 0.0), res["m"], 0)
 
         p_prev = target_pdf_centroid(scene, prev_res["index"], prim["position"],
-                                     prim["normal"], view, albedo, metal, rough)
+                                     prim["normal"], ctx["view"], ctx["albedo"],
+                                     ctx["metal"], ctx["rough"])
         tmp = reservoir_update(tmp, prev_res["index"],
                                p_prev * prev_res["w"] * prev_m.astype(np.float32),
                                prev_m, p_prev, u2, valid_hist)
@@ -209,7 +208,28 @@ def render_restir_di(scene: Scene, trace_fn, origins, directions, pixel_ids,
         tmp = _finalize_w(tmp, m_inv)
         res = {k: xp.where(valid_hist, tmp[k], res[k]) for k in res}
 
-    # ---- Part 2: spatial reuse --------------------------------------------
+    # flat arrays crossing the stage barrier (the reference's G-buffers +
+    # reservoir buffers between kernel launches)
+    return dict(index=res["index"], w=res["w"], pdf=res["pdf"],
+                wsum=res["wsum"], m=res["m"],
+                t=prim["t"], mat=prim["mat"],
+                position=prim["position"], normal=prim["normal"],
+                uv=prim["uv"])
+
+
+def restir_di_part2(scene, trace_fn, origins, directions, pixel_ids, frame,
+                    settings, g, full_g, width, height):
+    """Stage 2: spatial reuse + final shade (PerPixel_ReSTIR_DI_Part2,
+    Renderer.cu:1875-2041).  ``g`` holds this chunk's stage-1 arrays,
+    ``full_g`` the full-image ones for neighbor gathers."""
+    xp = _xp(origins)
+    num_emissive = max(scene.emissive_tris.shape[0], 1)
+
+    prim = dict(t=g["t"], mat=g["mat"], position=g["position"],
+                normal=g["normal"], uv=g["uv"])
+    ctx = _prim_setup(scene, origins, directions, prim)
+    res = dict(index=g["index"], w=g["w"], pdf=g["pdf"], wsum=g["wsum"], m=g["m"])
+
     key2 = rng.path_key(pixel_ids, frame, 0, stream=7002)
     if settings.spatial_reuse:
         px_self = (pixel_ids % width).astype(np.int32)
@@ -220,10 +240,9 @@ def render_restir_di(scene: Scene, trace_fn, origins, directions, pixel_ids,
         z = xp.zeros(pixel_ids.shape, np.int32)
         key2, (u_acc,) = rng.uniforms(key2, 1)
         sp = reservoir_update(sp, res["index"], res["pdf"] * res["w"] * res["m"].astype(np.float32),
-                              res["m"], res["pdf"], u_acc, shade_lanes)
-        z = z + xp.where(shade_lanes & (res["pdf"] > 0.0), res["m"], 0)
+                              res["m"], res["pdf"], u_acc, ctx["shade"])
+        z = z + xp.where(ctx["shade"] & (res["pdf"] > 0.0), res["m"], 0)
 
-        cur_normal_oct = encode_octahedral(prim["normal"])
         for _n in range(settings.spatial_neighbors):
             key2, (ux, uy, u_acc) = rng.uniforms(key2, 3)
             ox = (px_self + ((ux * 2.0 - 1.0) * radius).astype(np.int32))
@@ -232,17 +251,19 @@ def render_restir_di(scene: Scene, trace_fn, origins, directions, pixel_ids,
             oy = xp.clip(oy, 0, height - 1)
             nidx = ox + oy * width
 
-            n_depth = prim["t"][nidx]
-            n_normal = decode_octahedral(cur_normal_oct[nidx])
+            n_depth = full_g["t"][nidx]
+            # reference reads the oct-encoded normal G-buffer: quantize
+            n_normal = decode_octahedral(encode_octahedral(full_g["normal"][nidx]))
             depth_ok = (n_depth <= (1.0 + _DEPTH_TOL) * prim["t"]) & \
                        (n_depth >= (1.0 - _DEPTH_TOL) * prim["t"])
             normal_ok = dot3(prim["normal"], n_normal, keepdims=False) >= _NORMAL_SPATIAL
-            ok = shade_lanes & depth_ok & normal_ok
+            ok = ctx["shade"] & depth_ok & normal_ok
 
-            n_res = {k: v[nidx] for k, v in res.items()}
+            n_res = {k: full_g[k][nidx] for k in ("index", "w", "pdf", "wsum", "m")}
             # re-evaluate p̂ of the neighbor's sample at THIS pixel (fix)
             p_n = target_pdf_centroid(scene, n_res["index"], prim["position"],
-                                      prim["normal"], view, albedo, metal, rough)
+                                      prim["normal"], ctx["view"], ctx["albedo"],
+                                      ctx["metal"], ctx["rough"])
             sp = reservoir_update(sp, n_res["index"],
                                   p_n * n_res["w"] * n_res["m"].astype(np.float32),
                                   n_res["m"], p_n, u_acc, ok)
@@ -250,7 +271,7 @@ def render_restir_di(scene: Scene, trace_fn, origins, directions, pixel_ids,
 
         m_inv = 1.0 / xp.maximum(z.astype(np.float32), 1.0)
         sp = _finalize_w(sp, m_inv)
-        res = {k: xp.where(shade_lanes, sp[k], res[k]) for k in res}
+        res = {k: xp.where(ctx["shade"], sp[k], res[k]) for k in res}
 
     # ---- final shade (Renderer.cu:1957-2031) ------------------------------
     key2, (up1, up2) = rng.uniforms(key2, 2)
@@ -261,7 +282,8 @@ def render_restir_di(scene: Scene, trace_fn, origins, directions, pixel_ids,
     dist = xp.sqrt(dist2)
     ldir = to_l / dist[..., None]
 
-    brdf = cook_torrance_brdf(prim["normal"], view, ldir, albedo, metal, rough)
+    brdf = cook_torrance_brdf(prim["normal"], ctx["view"], ldir, ctx["albedo"],
+                              ctx["metal"], ctx["rough"])
     cos_x = xp.maximum(dot3(ldir, prim["normal"], keepdims=False), 0.0)
     cos_y = xp.maximum(dot3(-ldir, lnormal, keepdims=False), 0.0)
     solid_pdf = (1.0 / xp.maximum(area, 1e-20)) * dist2
@@ -273,17 +295,51 @@ def render_restir_di(scene: Scene, trace_fn, origins, directions, pixel_ids,
     sky = xp.asarray(settings.sky_color, dtype=origins.dtype)
 
     emission = material_emission(scene, scene.geometry.tri_mat[sel_tri])
-    lit = xp.where((shade_lanes & visible)[..., None],
+    lit = xp.where((ctx["shade"] & visible)[..., None],
                    thr * emission * res["w"][..., None], 0.0)
-    lit = lit + xp.where((shade_lanes & (vis_tri < 0))[..., None], thr * sky, 0.0)
+    lit = lit + xp.where((ctx["shade"] & (vis_tri < 0))[..., None], thr * sky, 0.0)
 
-    out = xp.where(prim_miss[..., None], sky, lit)
-    out = xp.where(prim_emissive[..., None], prim_emission, out)
+    out = xp.where(ctx["miss"][..., None], sky, lit)
+    out = xp.where(ctx["emissive"][..., None], ctx["emission"], out)
+    return out, res
+
+
+def render_restir_di(scene: Scene, trace_fn, origins, directions, pixel_ids,
+                     frame, settings, state, width: int, height: int,
+                     prev_proj_view):
+    """Full ReSTIR DI frame = part1 barrier part2, chunked over pixels.
+
+    Args:
+      state: dict with ``reservoir`` (prev frame's final reservoirs),
+        ``depth`` (B,), ``normal_oct`` (B, 2) — from the previous frame.
+      prev_proj_view: (4, 4) previous frame projection @ view.
+    Returns (hdr (B,3), new_state).
+    """
+    from fypraytracer_tpu.utils.chunking import map_chunks
+
+    xp = _xp(origins)
+    g = map_chunks(
+        lambda o, d, p: restir_di_part1(scene, trace_fn, o, d, p, frame,
+                                        settings, state, width, height,
+                                        prev_proj_view),
+        (origins, directions, pixel_ids))
+
+    g_keys = sorted(g.keys())
+
+    def part2_chunk(o, d, p, *chunk_g):
+        cg = dict(zip(g_keys, chunk_g))
+        return restir_di_part2(scene, trace_fn, o, d, p, frame, settings,
+                               cg, g, width, height)
+
+    out, res = map_chunks(part2_chunk,
+                          (origins, directions, pixel_ids)
+                          + tuple(g[k] for k in g_keys))
 
     new_state = dict(
-        reservoir=res,
-        depth=prim["t"],
-        normal_oct=encode_octahedral(prim["normal"]),
+        reservoir=dict(index=res["index"], w=res["w"], pdf=res["pdf"],
+                       wsum=res["wsum"], m=res["m"]),
+        depth=g["t"],
+        normal_oct=encode_octahedral(g["normal"]),
     )
     return out, new_state
 

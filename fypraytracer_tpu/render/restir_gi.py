@@ -204,12 +204,11 @@ def _shade(scene, prim, view, res, shade_lanes):
                     f * (cos_t * res["w"])[..., None] * s["radiance"], 0.0)
 
 
-def render_restir_gi(scene: Scene, trace_fn, origins, directions, pixel_ids,
-                     frame, settings, state, width: int, height: int,
-                     prev_proj_view):
-    """Full ReSTIR GI frame: initial path + temporal + spatial + shade."""
+def restir_gi_part1(scene, trace_fn, origins, directions, pixel_ids, frame,
+                    settings, state, width, height, prev_proj_view):
+    """Stage 1: primary trace, initial BRDF path, temporal reuse
+    (PerPixel_ReSTIR_GI_Part1, Renderer.cu:2043-2293)."""
     xp = _xp(origins)
-    sky = xp.asarray(settings.sky_color, dtype=origins.dtype)
 
     prim_tri = trace_fn(origins, directions)
     prim = hit_payload(scene.geometry, origins, directions, prim_tri)
@@ -219,7 +218,6 @@ def render_restir_gi(scene: Scene, trace_fn, origins, directions, pixel_ids,
     shade_lanes = ~(prim_miss | prim_emissive)
     view = -directions
 
-    # ---- Part 1: initial path sample --------------------------------------
     key = rng.path_key(pixel_ids, frame, 0, stream=8001)
     key, sample, sky_direct, src_pdf = _trace_sample_path(
         scene, trace_fn, prim, view, key, settings)
@@ -231,7 +229,6 @@ def render_restir_gi(scene: Scene, trace_fn, origins, directions, pixel_ids,
     res = reservoir_update(res, sample, w_ris, 1, p_hat, u0, shade_lanes)
     res["w"] = _w_of(res)
 
-    # ---- Part 1: temporal reuse -------------------------------------------
     if settings.temporal_reuse:
         uv_prev = ndc_to_uv(world_to_ndc(prev_proj_view, prim["position"]))
         px = xp.clip((uv_prev[..., 0] * width).astype(np.int32), 0, width - 1)
@@ -243,9 +240,12 @@ def render_restir_gi(scene: Scene, trace_fn, origins, directions, pixel_ids,
         prev_res = dict(sample={k: v[prev_idx] for k, v in pr["sample"].items()},
                         w=pr["w"][prev_idx], m=pr["m"][prev_idx],
                         wsum=pr["wsum"][prev_idx])
+        # Geometric validity only: a zero-radiance history sample is still a
+        # valid sample ("this path found nothing") and must be counted in M,
+        # else lucky paths are overweighted — the reference's CheckIfValid
+        # gate (radiance² > 0, ReSTIR_GI_Reservoir.cu:66-68) biases bright.
         valid = (dot3(prev_n, prim["normal"], keepdims=False) >= _NORMAL_TEMPORAL) \
-            & (prev_res["m"] > 0) & shade_lanes & \
-            (_luminance_norm(prev_res["sample"]["radiance"]) > 0.0)
+            & (prev_res["m"] > 0) & shade_lanes
 
         cap = settings.temporal_history_limit * xp.maximum(res["m"], 1)
         prev_m = xp.minimum(prev_res["m"], cap)
@@ -258,32 +258,63 @@ def render_restir_gi(scene: Scene, trace_fn, origins, directions, pixel_ids,
         merged["w"] = _w_of(merged)
         res = _where_res(valid, merged, res)
 
-    # ---- Part 2: spatial reuse --------------------------------------------
+    # flat stage-barrier arrays (sample fields prefixed s_)
+    out = dict(w=res["w"], m=res["m"], wsum=res["wsum"],
+               t=prim["t"], mat=prim["mat"], position=prim["position"],
+               normal=prim["normal"], uv=prim["uv"], sky_direct=sky_direct)
+    for k, v in res["sample"].items():
+        out["s_" + k] = v
+    return out
+
+
+def restir_gi_part2(scene, trace_fn, origins, directions, pixel_ids, frame,
+                    settings, g, full_g, width, height):
+    """Stage 2: spatial reuse with Jacobian reconnection + shade
+    (PerPixel_ReSTIR_GI_Part2, Renderer.cu:2295-2387)."""
+    xp = _xp(origins)
+    sky = xp.asarray(settings.sky_color, dtype=origins.dtype)
+
+    prim = dict(t=g["t"], mat=g["mat"], position=g["position"],
+                normal=g["normal"], uv=g["uv"])
+    prim_miss = prim["t"] < 0.0
+    prim_emission = material_emission(scene, prim["mat"])
+    prim_emissive = dot3(prim_emission, prim_emission, keepdims=False) > 0.0
+    shade_lanes = ~(prim_miss | prim_emissive)
+    view = -directions
+    sky_direct = g["sky_direct"]
+
+    sample_keys = [k[2:] for k in g if k.startswith("s_")]
+    res = dict(sample={k: g["s_" + k] for k in sample_keys},
+               w=g["w"], m=g["m"], wsum=g["wsum"])
+
     key2 = rng.path_key(pixel_ids, frame, 0, stream=8002)
     if settings.spatial_reuse:
         px_self = (pixel_ids % width).astype(np.int32)
         py_self = (pixel_ids // width).astype(np.int32)
         radius = float(settings.spatial_radius)
-        cur_normal_oct = encode_octahedral(prim["normal"])
 
-        z = xp.where(shade_lanes & (_luminance_norm(res["sample"]["radiance"]) > 0.0),
-                     res["m"], 0)
+        # own M always counts (see zero-radiance note in part1)
+        z = xp.where(shade_lanes, res["m"], 0)
         for _n in range(settings.spatial_neighbors):
             key2, (ux, uy, u_acc) = rng.uniforms(key2, 3)
             ox = xp.clip(px_self + ((ux * 2.0 - 1.0) * radius).astype(np.int32), 0, width - 1)
             oy = xp.clip(py_self + ((uy * 2.0 - 1.0) * radius).astype(np.int32), 0, height - 1)
             nidx = ox + oy * width
 
-            n_depth = prim["t"][nidx]
-            n_normal = decode_octahedral(cur_normal_oct[nidx])
-            nr = dict(sample={k: v[nidx] for k, v in res["sample"].items()},
-                      w=res["w"][nidx], m=res["m"][nidx], wsum=res["wsum"][nidx])
+            n_depth = full_g["t"][nidx]
+            # reference reads the oct-encoded normal G-buffer: quantize
+            n_normal = decode_octahedral(encode_octahedral(full_g["normal"][nidx]))
+            nr = dict(sample={k: full_g["s_" + k][nidx] for k in sample_keys},
+                      w=full_g["w"][nidx], m=full_g["m"][nidx],
+                      wsum=full_g["wsum"][nidx])
             n_rad_len = _luminance_norm(nr["sample"]["radiance"])
+            # geometric acceptance only — zero-radiance neighbors still
+            # count in Z (merge weight is 0, the M accounting is not)
             ok = shade_lanes \
                 & (n_depth <= (1.0 + _DEPTH_TOL) * prim["t"]) \
                 & (n_depth >= (1.0 - _DEPTH_TOL) * prim["t"]) \
                 & (dot3(prim["normal"], n_normal, keepdims=False) >= _NORMAL_SPATIAL) \
-                & (n_rad_len > 0.0)
+                & (nr["m"] > 0)
 
             # Jacobian of path reconnection (eq. 11, Renderer.cu:2343-2353)
             ns = nr["sample"]
@@ -300,18 +331,17 @@ def render_restir_gi(scene: Scene, trace_fn, origins, directions, pixel_ids,
 
             # visibility re-trace: neighbor sample point → current visible pt
             vis_o = ns["sample_point"] + n_sn * ORIGIN_EPS
-            vis_d = d_r / dist_r[..., None] * -1.0  # from sample point toward pixel
-            vis_d = -vis_d
+            vis_d = d_r / dist_r[..., None]  # sample point -> pixel's visible point
             vis_tri = trace_fn(vis_o, vis_d)
             vis_pay = hit_payload(scene.geometry, vis_o, vis_d, vis_tri)
             tol = xp.maximum(1e-4, dist_r * 1e-3)
             visible = xp.abs(vis_pay["t"] - dist_r) <= tol
             p_n = xp.where(visible, p_n, 0.0)
 
-            z = z + xp.where(ok & (p_n > 0.0), nr["m"], 0)
+            z = z + xp.where(ok, nr["m"], 0)
             res = reservoir_update(res, ns,
                                    p_n * nr["w"] * nr["m"].astype(np.float32),
-                                   nr["m"], p_n, u_acc, ok & (p_n >= 0.0))
+                                   nr["m"], p_n, u_acc, ok)
 
         # paper eq. 7 with Z (fixes Renderer.cu:2371-2372, see module doc)
         p_sel = res["sample"]["pdf"]
@@ -326,8 +356,41 @@ def render_restir_gi(scene: Scene, trace_fn, origins, directions, pixel_ids,
     out = xp.where(prim_miss[..., None], sky, out)
     out = xp.where(prim_emissive[..., None], prim_emission, out)
 
-    new_state = dict(reservoir=res, depth=prim["t"],
-                     normal_oct=encode_octahedral(prim["normal"]))
+    flat_res = dict(w=res["w"], m=res["m"], wsum=res["wsum"])
+    for k, v in res["sample"].items():
+        flat_res["s_" + k] = v
+    return out, flat_res
+
+
+def render_restir_gi(scene: Scene, trace_fn, origins, directions, pixel_ids,
+                     frame, settings, state, width: int, height: int,
+                     prev_proj_view):
+    """Full ReSTIR GI frame = part1 barrier part2, chunked over pixels."""
+    from fypraytracer_tpu.utils.chunking import map_chunks
+
+    g = map_chunks(
+        lambda o, d, p: restir_gi_part1(scene, trace_fn, o, d, p, frame,
+                                        settings, state, width, height,
+                                        prev_proj_view),
+        (origins, directions, pixel_ids))
+
+    g_keys = sorted(g.keys())
+
+    def part2_chunk(o, d, p, *chunk_g):
+        cg = dict(zip(g_keys, chunk_g))
+        return restir_gi_part2(scene, trace_fn, o, d, p, frame, settings,
+                               cg, g, width, height)
+
+    out, flat_res = map_chunks(part2_chunk,
+                               (origins, directions, pixel_ids)
+                               + tuple(g[k] for k in g_keys))
+
+    sample = {k[2:]: v for k, v in flat_res.items() if k.startswith("s_")}
+    new_state = dict(
+        reservoir=dict(sample=sample, w=flat_res["w"], m=flat_res["m"],
+                       wsum=flat_res["wsum"]),
+        depth=g["t"],
+        normal_oct=encode_octahedral(g["normal"]))
     return out, new_state
 
 

@@ -111,5 +111,5 @@ def test_restir_gi_unbiased_vs_brdf_path(scene_and_cam):
     ref = accumulate_oracle(scene, cam, RenderSettings(
         technique=SamplingTechnique.BRDF, bounces=2, samples=4), frames)
     rel = abs(gi.mean() - ref.mean()) / max(ref.mean(), 1e-9)
-    assert rel < 0.15, (gi.mean(), ref.mean())
+    assert rel < 0.05, (gi.mean(), ref.mean())
     assert np.isfinite(gi).all()
