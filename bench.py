@@ -42,13 +42,16 @@ def main() -> None:
     def fence(x):
         return float(jax.jit(lambda v: v.ravel()[0])(x))
 
-    # warmup / compile
-    fence(r.render_hdr())
+    # Offline-accumulation protocol: render a frame batch per dispatch
+    # (render_many) so fixed per-dispatch runtime overhead — tens of ms
+    # through the axon tunnel — is amortized as it would be in a real
+    # fixed-budget render (WalnutApp.cpp:900-905).
+    frames = 64
+    fence(r.render_many(frames))  # warmup/compile
+    r.reset()
 
-    frames = 10
     t0 = time.perf_counter()
-    for _ in range(frames):
-        out = r.render_hdr()
+    out = r.render_many(frames)
     fence(out)
     dt = (time.perf_counter() - t0) / frames
 

@@ -28,13 +28,12 @@ _P_CLAMP = 1e-6           # LightTree.cu:58
 _RAND_CLAMP = 0.9999999   # LightTree.cu:23
 
 
-def _theta_u(box_lo, box_hi, point):
-    """Half-angle of the cone from ``point`` enveloping the AABB
-    (ConeBounds.cuh:47-87). box_lo/hi, point: (..., 3)."""
+def _cos_theta_u(box_lo, box_hi, point):
+    """cos of the half-angle of the cone from ``point`` enveloping the
+    AABB (ConeBounds.cuh:47-87): min over corners of cos(axis, corner)."""
     xp = _xp(point)
     centroid = 0.5 * (box_lo + box_hi)
     axis = normalize(centroid - point)
-    max_cos_inv = None
     min_cos = None
     for cx in (0, 1):
         for cy in (0, 1):
@@ -47,28 +46,59 @@ def _theta_u(box_lo, box_hi, point):
                 d = normalize(corner - point)
                 c = xp.clip(dot3(axis, d, keepdims=False), -1.0, 1.0)
                 min_cos = c if min_cos is None else xp.minimum(min_cos, c)
-    return xp.arccos(min_cos)  # max theta == acos(min cos)
+    return min_cos
 
 
 def cluster_importance(lt: LightTreeArrays, node_idx, point):
-    """ComputeClusterImportance (LightTree.cuh:91-117).
+    """ComputeClusterImportance (LightTree.cuh:91-117), transcendental-free.
+
+    The reference computes ``cos(clamp(θ − θ_o − θ_u, 0, θ_e))`` through
+    acos/cos (three transcendentals per node visit); here the same value
+    is produced with angle-sum identities entirely in (cos, sin) space —
+    all angles live in [0, π] so sines are non-negative and the clamp
+    cases reduce to cosine comparisons:
+
+      a = θ_o + θ_u:  cos_a/sin_a by angle sum;  a > π  ⟺  sin_a < 0.
+      clamp-low  (θ ≤ a):        value 1.
+      clamp-high (θ ≥ a + θ_e):  value cos θ_e;  impossible when a+θ_e ≥ π.
+      else:                      value cos(θ − a) by angle difference.
 
     node_idx: (...,) i32 (assumed valid); point: (..., 3).
     """
     xp = _xp(point)
     box_lo = lt.box_lo[node_idx]
     box_hi = lt.box_hi[node_idx]
-    theta_u = _theta_u(box_lo, box_hi, point)
+    cos_u = _cos_theta_u(box_lo, box_hi, point)
+    sin_u = xp.sqrt(xp.maximum(1.0 - cos_u * cos_u, 0.0))
 
     centroid = 0.5 * (box_lo + box_hi)
     d = point - centroid
     dist2 = xp.maximum(dot3(d, d, keepdims=False), 1e-12)
     d = normalize(d)
 
-    dot_val = xp.clip(dot3(lt.axis[node_idx], d, keepdims=False), -1.0, 1.0)
-    theta = xp.arccos(dot_val)
-    angle = xp.clip(theta - lt.theta_o[node_idx] - theta_u, 0.0, lt.theta_e[node_idx])
-    return lt.energy[node_idx] * xp.cos(angle) / dist2
+    cos_t = xp.clip(dot3(lt.axis[node_idx], d, keepdims=False), -1.0, 1.0)
+    sin_t = xp.sqrt(xp.maximum(1.0 - cos_t * cos_t, 0.0))
+
+    cos_o = xp.cos(lt.theta_o)[node_idx]
+    sin_o = xp.sin(lt.theta_o)[node_idx]
+    cos_e = xp.cos(lt.theta_e)[node_idx]
+    sin_e = xp.sin(lt.theta_e)[node_idx]
+
+    cos_a = cos_o * cos_u - sin_o * sin_u          # cos(θ_o + θ_u)
+    sin_a = sin_o * cos_u + cos_o * sin_u          # sin(θ_o + θ_u)
+
+    # cos(θ − a), sin terms ≥ 0 on [0, π]
+    cos_diff = cos_t * cos_a + sin_t * xp.abs(sin_a)
+
+    a_gt_pi = sin_a < 0.0
+    clamp_low = a_gt_pi | (cos_t >= cos_a)
+    # a + θ_e ≥ π  ⟺  a > π, or θ_e ≥ π − a  ⟺  cos θ_e ≤ −cos_a
+    b_ge_pi = a_gt_pi | (cos_e <= -cos_a)
+    cos_b = cos_a * cos_e - sin_a * sin_e          # cos(a + θ_e)
+    clamp_high = (~b_ge_pi) & (cos_t <= cos_b)
+
+    val = xp.where(clamp_low, 1.0, xp.where(clamp_high, cos_e, cos_diff))
+    return lt.energy[node_idx] * val / dist2
 
 
 def _child_probs(lt: LightTreeArrays, parent_idx, point):

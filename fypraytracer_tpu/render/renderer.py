@@ -43,11 +43,9 @@ _SAMPLER_OF = {
 }
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "width", "height"),
-                   donate_argnames=("accum",))
-def render_step(scene: Scene, inv_projection, inv_view, frame, accum,
-                *, settings: RenderSettings, width: int, height: int):
-    """One frame: raygen → integrate → accumulate.  Returns (accum', hdr)."""
+def _frame_hdr(scene: Scene, inv_projection, inv_view, frame,
+               settings: RenderSettings, width: int, height: int):
+    """One stateless frame of HDR radiance, (H, W, 3)."""
     origins, directions = generate_rays(inv_projection, inv_view, width, height, xp=jnp)
     pixel_ids = jnp.arange(width * height, dtype=jnp.uint32)
 
@@ -66,10 +64,38 @@ def render_step(scene: Scene, inv_projection, inv_view, frame, accum,
                                frame_u32, settings)
     else:
         raise NotImplementedError(f"technique {tech} pending (see render/)")
+    return hdr.reshape(height, width, 3)
 
-    hdr = hdr.reshape(height, width, 3)
+
+@functools.partial(jax.jit, static_argnames=("settings", "width", "height"),
+                   donate_argnames=("accum",))
+def render_step(scene: Scene, inv_projection, inv_view, frame, accum,
+                *, settings: RenderSettings, width: int, height: int):
+    """One frame: raygen → integrate → accumulate.  Returns (accum', hdr)."""
+    hdr = _frame_hdr(scene, inv_projection, inv_view, frame, settings, width, height)
     accum = accum + hdr if settings.accumulate else hdr
     return accum, hdr
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("settings", "width", "height", "n_frames"),
+                   donate_argnames=("accum",))
+def render_step_multi(scene: Scene, inv_projection, inv_view, frame0, accum,
+                      *, settings: RenderSettings, width: int, height: int,
+                      n_frames: int):
+    """Accumulate ``n_frames`` frames in ONE dispatch.
+
+    This is the offline-rendering fast path (the reference's fixed-budget
+    accumulation runs, WalnutApp.cpp:900-905): per-dispatch runtime
+    overhead is amortized over the whole batch and all frame state stays
+    on device for the duration.
+    """
+    def body(i, acc):
+        hdr = _frame_hdr(scene, inv_projection, inv_view,
+                         frame0 + i.astype(frame0.dtype), settings, width, height)
+        return acc + hdr
+
+    return jax.lax.fori_loop(0, n_frames, body, accum)
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "width", "height"),
@@ -105,6 +131,34 @@ def render_step_stateful(scene: Scene, inv_projection, inv_view,
     hdr = hdr.reshape(height, width, 3)
     accum = accum + hdr if settings.accumulate else hdr
     return accum, new_state
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("settings", "width", "height", "n_frames"),
+                   donate_argnames=("accum", "aux_state"))
+def render_step_stateful_multi(scene: Scene, inv_projection, inv_view,
+                               prev_proj_view, frame0, accum, aux_state,
+                               *, settings: RenderSettings, width: int,
+                               height: int, n_frames: int):
+    """``n_frames`` ReSTIR frames in one dispatch (static camera: the
+    current proj@view doubles as the previous frame's for reprojection)."""
+    from fypraytracer_tpu.render import restir_di, restir_gi
+
+    origins, directions = generate_rays(inv_projection, inv_view, width, height, xp=jnp)
+    pixel_ids = jnp.arange(width * height, dtype=jnp.uint32)
+    trace = pick_tracer(scene, settings.tracer)
+    fn = (restir_di.render_restir_di
+          if settings.technique == SamplingTechnique.RESTIR_DI
+          else restir_gi.render_restir_gi)
+
+    def body(i, carry):
+        acc, state = carry
+        hdr, state = fn(scene, trace, origins, directions, pixel_ids,
+                        (frame0 + i).astype(jnp.uint32), settings, state,
+                        width, height, prev_proj_view)
+        return acc + hdr.reshape(height, width, 3), state
+
+    return jax.lax.fori_loop(0, n_frames, body, (accum, aux_state))
 
 
 class Renderer:
@@ -176,6 +230,29 @@ class Renderer:
             self.frame_index = 1
         self.camera.commit_frame()
         return avg
+
+    def render_many(self, n_frames: int) -> jax.Array:
+        """Accumulate ``n_frames`` frames in a single dispatch and return
+        the running-average HDR image — the offline-rendering fast path
+        (per-dispatch runtime overhead amortized across the batch)."""
+        assert self.settings.accumulate, "render_many requires accumulation"
+        ipj = jnp.asarray(self.camera.inv_projection)
+        ivw = jnp.asarray(self.camera.inv_view)
+        f0 = jnp.uint32(self.frame_index)
+        if self._is_stateful():
+            self.accum, self.aux_state = render_step_stateful_multi(
+                self.scene, ipj, ivw, jnp.asarray(self.camera.prev_proj_view),
+                f0, self.accum, self.aux_state, settings=self.settings,
+                width=self.camera.width, height=self.camera.height,
+                n_frames=n_frames)
+        else:
+            self.accum = render_step_multi(
+                self.scene, ipj, ivw, f0, self.accum, settings=self.settings,
+                width=self.camera.width, height=self.camera.height,
+                n_frames=n_frames)
+        self.frame_index += n_frames
+        self.camera.commit_frame()
+        return self.accum / jnp.float32(self.frame_index - 1)
 
     def render_frame(self) -> np.ndarray:
         """Render + tonemap + pack, host uint32 ABGR (H, W)."""

@@ -56,3 +56,37 @@ def test_accumulation_matches_oracle(small_scene):
     want = np.mean([render_oracle(scene, cam, settings, f) for f in (1, 2, 3)], axis=0)
     diff = np.abs(np.asarray(avg) - want)
     assert (diff.max(axis=-1) > 1e-2).mean() < 0.01
+
+
+def test_render_many_matches_frame_loop(small_scene):
+    """Multi-frame single-dispatch accumulation == frame-by-frame loop."""
+    from fypraytracer_tpu.render.renderer import Renderer
+
+    scene, cam = small_scene
+    settings = RenderSettings(technique=SamplingTechnique.COSINE, bounces=1,
+                              samples=1)
+    r1 = Renderer(scene, cam, settings)
+    for _ in range(4):
+        loop_avg = r1.render_hdr()
+
+    r2 = Renderer(scene, cam, settings)
+    many_avg = r2.render_many(4)
+    assert r2.frame_index == 5
+    np.testing.assert_allclose(np.asarray(many_avg), np.asarray(loop_avg),
+                               atol=1e-5)
+
+
+def test_render_many_restir(small_scene):
+    from fypraytracer_tpu.render.renderer import Renderer
+
+    scene, cam = small_scene
+    settings = RenderSettings(technique=SamplingTechnique.RESTIR_DI,
+                              light_candidates=2, spatial_neighbors=2,
+                              spatial_radius=4)
+    r1 = Renderer(scene, cam, settings)
+    for _ in range(3):
+        loop_avg = r1.render_hdr()
+    r2 = Renderer(scene, cam, settings)
+    many_avg = r2.render_many(3)
+    np.testing.assert_allclose(np.asarray(many_avg), np.asarray(loop_avg),
+                               atol=1e-4)
