@@ -27,9 +27,13 @@ _MUL2 = np.uint32(277803737)
 # Weyl-style stream separators for key folding.
 _GOLDEN = np.uint32(0x9E3779B9)
 
-# (float)UINT32_MAX rounds to 2^32 in float32, matching the reference's
-# ``(float)seed / (float)UINT32_MAX`` (MathUtils.cuh:58).
-_INV_U32 = np.float32(1.0) / np.float32(4294967296.0)
+# Uniform convention: top 24 bits scaled by 2^-24 — exactly representable
+# in float32 (its mantissa width), u ∈ [0, 1).  Deviation from the
+# reference's ``(float)seed / (float)UINT32_MAX`` (MathUtils.cuh:58, which
+# can yield exactly 1.0): chosen so the same stream is reproducible inside
+# Pallas TPU kernels, where uint32→f32 casts don't lower but a 24-bit
+# int32 path does.
+_INV_24 = np.float32(1.0) / np.float32(16777216.0)
 
 
 def pcg_hash(x):
@@ -70,14 +74,15 @@ def _as_u32(x):
 
 
 def next_uniform(key):
-    """Advance the key and return ``(new_key, u)`` with u in [0, 1].
+    """Advance the key and return ``(new_key, u)`` with u in [0, 1).
 
     Mirrors the stateful ``randomFloat`` (MathUtils.cuh:54-59): the new key
-    is ``pcg_hash(key)`` and the uniform is the new key scaled to float32.
-    Note u can equal 1.0 (as in the reference) for keys >= 2^32 - 2^8.
+    is ``pcg_hash(key)`` and the uniform is its top 24 bits × 2⁻²⁴ (see
+    the _INV_24 note for why this differs from the reference's scaling).
     """
     new_key = pcg_hash(key)
-    return new_key, new_key.astype(np.float32) * _INV_U32
+    bits = (new_key >> np.uint32(8)).astype(np.int32)
+    return new_key, bits.astype(np.float32) * _INV_24
 
 
 def uniforms(key, n: int):
