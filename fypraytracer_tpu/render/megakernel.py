@@ -82,7 +82,27 @@ _A_METAL = 7
 _A_N0 = 8       # 8:11
 _A_N1 = 11      # 11:14
 _A_N2 = 14      # 14:17
-_A_COLS = 24    # padded
+_A_P0 = 17      # 17:20 triangle vertex 0 (world)
+_A_E1 = 20      # 20:23 edge 1
+_A_COLS = 32    # padded
+_A_E2 = 23      # 23:26 edge 2
+_A_AREA = 26
+_A_LEAF = 27    # light-tree leaf id of this triangle (-1 none)
+
+# light-tree node table columns (SoA of scene/types.py::LightTreeArrays)
+_L_BLO = 0      # 0:3
+_L_BHI = 3      # 3:6
+_L_AXIS = 6     # 6:9
+_L_COS_O = 9
+_L_SIN_O = 10
+_L_COS_E = 11
+_L_SIN_E = 12
+_L_ENERGY = 13
+_L_LEFT = 14
+_L_RIGHT = 15
+_L_TRI = 16
+_L_PARENT = 17
+_L_COLS = 24    # padded
 
 
 def prepare_scene_tables(scene: Scene):
@@ -107,6 +127,8 @@ def prepare_scene_tables(scene: Scene):
     m = scene.materials
     mat = g.tri_mat
     T = tv.shape[0]
+    area = 0.5 * jnp.sqrt(jnp.maximum((n * n).sum(-1), 0.0))
+    lt = scene.light_tree
     A = jnp.zeros((T, _A_COLS), jnp.float32)
     A = A.at[:, _A_ALBEDO:_A_ALBEDO + 3].set(m.albedo[mat])
     A = A.at[:, _A_EMISSION:_A_EMISSION + 3].set(
@@ -116,29 +138,223 @@ def prepare_scene_tables(scene: Scene):
     A = A.at[:, _A_N0:_A_N0 + 3].set(g.normals[tv[:, 0]])
     A = A.at[:, _A_N1:_A_N1 + 3].set(g.normals[tv[:, 1]])
     A = A.at[:, _A_N2:_A_N2 + 3].set(g.normals[tv[:, 2]])
+    A = A.at[:, _A_P0:_A_P0 + 3].set(p0)
+    A = A.at[:, _A_E1:_A_E1 + 3].set(e1)
+    A = A.at[:, _A_E2:_A_E2 + 3].set(e2)
+    A = A.at[:, _A_AREA].set(area)
+    A = A.at[:, _A_LEAF].set(lt.leaf_of_tri.astype(jnp.float32))
 
     pad_t = (-T) % TRI_TILE
     if pad_t:
         wn = jnp.pad(wn, ((0, 0), (0, pad_t)))
         wu = jnp.pad(wu, ((0, 0), (0, pad_t)))
         wv = jnp.pad(wv, ((0, 0), (0, pad_t)))
-        A = jnp.pad(A, ((0, pad_t), (0, 0)))
+        A = jnp.pad(A, ((0, pad_t), (0, 0)), constant_values=0.0)
+        A = A.at[T:, _A_LEAF].set(-1.0)
     return wn, wu, wv, A
 
 
-def _dot_rows(mat_rows, x, y, z, w):
-    """(4,4)-matrix application to per-lane components; rows static."""
-    return [mat_rows[r, 0] * x + mat_rows[r, 1] * y + mat_rows[r, 2] * z
-            + mat_rows[r, 3] * w for r in range(4)]
+def prepare_light_table(scene: Scene, n_pad: int = 128):
+    """Light-tree nodes as one dense (N, _L_COLS) table for one-hot
+    lookups (cos/sin of the cone angles precomputed)."""
+    lt = scene.light_tree
+    n = lt.energy.shape[0]
+    L = jnp.zeros((max(n_pad, n), _L_COLS), jnp.float32)
+    L = L.at[:n, _L_BLO:_L_BLO + 3].set(lt.box_lo)
+    L = L.at[:n, _L_BHI:_L_BHI + 3].set(lt.box_hi)
+    L = L.at[:n, _L_AXIS:_L_AXIS + 3].set(lt.axis)
+    L = L.at[:n, _L_COS_O].set(jnp.cos(lt.theta_o))
+    L = L.at[:n, _L_SIN_O].set(jnp.sin(lt.theta_o))
+    L = L.at[:n, _L_COS_E].set(jnp.cos(lt.theta_e))
+    L = L.at[:n, _L_SIN_E].set(jnp.sin(lt.theta_e))
+    L = L.at[:n, _L_ENERGY].set(lt.energy)
+    L = L.at[:n, _L_LEFT].set(lt.left.astype(jnp.float32))
+    L = L.at[:n, _L_RIGHT].set(lt.right.astype(jnp.float32))
+    L = L.at[:n, _L_TRI].set(lt.tri.astype(jnp.float32))
+    L = L.at[:n, _L_PARENT].set(lt.parent.astype(jnp.float32))
+    if n < n_pad:
+        L = L.at[n:, _L_LEFT].set(-1.0)
+        L = L.at[n:, _L_RIGHT].set(-1.0)
+        L = L.at[n:, _L_TRI].set(-1.0)
+        L = L.at[n:, _L_PARENT].set(-1.0)
+    return L, lt.max_depth
+
+
+# ---------------------------------------------------------------------------
+# Component-wise math helpers ((C, 1) lanes; mirror core/mathutils.py)
+# ---------------------------------------------------------------------------
+
+
+def _norm3(x, y, z):
+    inv = jax.lax.rsqrt(x * x + y * y + z * z + 1e-20)
+    return x * inv, y * inv, z * inv
+
+
+def _onb(nx, ny, nz):
+    """BuildOrthonormalBasis (MathUtils.cuh:61-71)."""
+    use_a = nx * nx > nz * nz
+    ax = jnp.where(use_a, -ny, 0.0)
+    ay = jnp.where(use_a, nx, -nz)
+    az = jnp.where(use_a, 0.0, ny)
+    tx, ty, tz = _norm3(ax, ay, az)
+    bx = ny * tz - nz * ty
+    by = nz * tx - nx * tz
+    bz = nx * ty - ny * tx
+    bx, by, bz = _norm3(bx, by, bz)
+    return tx, ty, tz, bx, by, bz
+
+
+def _to_world(nx, ny, nz, lx, ly, lz):
+    tx, ty, tz, bx, by, bz = _onb(nx, ny, nz)
+    wx = tx * lx + bx * ly + nx * lz
+    wy = ty * lx + by * ly + ny * lz
+    wz = tz * lx + bz * ly + nz * lz
+    return _norm3(wx, wy, wz)
+
+
+def _cosine_dir(u1, u2, nx, ny, nz):
+    r = jnp.sqrt(u1)
+    th = 2.0 * _PI * u2
+    return _to_world(nx, ny, nz, r * jnp.cos(th), r * jnp.sin(th),
+                     jnp.sqrt(jnp.maximum(0.0, 1.0 - u1)))
+
+
+def _uniform_dir(u1, u2, nx, ny, nz):
+    phi = 2.0 * _PI * u1
+    ct = u2
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+    return _to_world(nx, ny, nz, st * jnp.cos(phi), st * jnp.sin(phi), ct)
+
+
+def _ggx_sample(u1, u2, nx, ny, nz, vx, vy, vz, rough):
+    """MathUtils.cuh:118-174; returns (lx, ly, lz, pdf)."""
+    alpha = rough * rough
+    a2 = alpha * alpha
+    phi = 2.0 * _PI * u2
+    ct = jnp.sqrt(jnp.clip((1.0 - u1) / jnp.maximum(1.0 + (a2 - 1.0) * u1, 1e-12), 0.0, 1.0))
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+    hx, hy, hz = _to_world(nx, ny, nz, st * jnp.cos(phi), st * jnp.sin(phi), ct)
+    idoth = -(vx * hx + vy * hy + vz * hz)
+    lx = -vx - 2.0 * idoth * hx
+    ly = -vy - 2.0 * idoth * hy
+    lz = -vz - 2.0 * idoth * hz
+    ndl = nx * lx + ny * ly + nz * lz
+    ndh = nx * hx + ny * hy + nz * hz
+    vdh = vx * hx + vy * hy + vz * hz
+    den = ndh * ndh * (a2 - 1.0) + 1.0
+    d = a2 / jnp.maximum(_PI * den * den, 1e-20)
+    pdf = d * ndh / jnp.maximum(4.0 * vdh, 1e-20)
+    valid = (ndl > 0.0) & (vdh > 0.0) & (ndh > 0.0)
+    pdf = jnp.where(valid, pdf, 0.0)
+    z = jnp.zeros_like(lx)
+    return (jnp.where(valid, lx, z), jnp.where(valid, ly, z),
+            jnp.where(valid, lz, z), pdf)
+
+
+def _ggx_pdf(nx, ny, nz, vx, vy, vz, lx, ly, lz, rough):
+    hx, hy, hz = _norm3(vx + lx, vy + ly, vz + lz)
+    ndh = jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0)
+    vdh = jnp.maximum(vx * hx + vy * hy + vz * hz, 0.0)
+    alpha = rough * rough
+    a2 = alpha * alpha
+    den = ndh * ndh * (a2 - 1.0) + 1.0
+    d = a2 / jnp.maximum(_PI * den * den, 1e-20)
+    pdf = d * ndh / jnp.maximum(4.0 * vdh, 1e-20)
+    return jnp.where((ndh > 0.0) & (vdh > 0.0), pdf, 0.0)
+
+
+def _spec_weight(nx, ny, nz, vx, vy, vz, alb, metal):
+    """Mean-Fresnel lobe weight (MathUtils.cuh:201-218)."""
+    ndv = jnp.maximum(nx * vx + ny * vy + nz * vz, 0.0)
+    s = (1.0 - ndv) ** 5
+    w = 0.0
+    for c in range(3):
+        f0 = 0.04 * (1.0 - metal) + alb[:, c:c + 1] * metal
+        w = w + (f0 + (1.0 - f0) * s)
+    w = w * (1.0 / 3.0)
+    return jnp.where(metal >= 1.0, 1.0, jnp.where(metal <= 0.0, 0.0, w))
+
+
+def _mixture_sample(u_sel, u1, u2, nx, ny, nz, vx, vy, vz, alb, rough, metal):
+    """brdf_sample_hemisphere parity (core/mathutils.py)."""
+    w_spec = _spec_weight(nx, ny, nz, vx, vy, vz, alb, metal)
+    gx, gy, gz, pdf_g = _ggx_sample(u1, u2, nx, ny, nz, vx, vy, vz, rough)
+    cx, cy, cz = _cosine_dir(u1, u2, nx, ny, nz)
+    take = u_sel <= w_spec
+    lx = jnp.where(take, gx, cx)
+    ly = jnp.where(take, gy, cy)
+    lz = jnp.where(take, gz, cz)
+    cos_t = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
+    pdf_d = cos_t * (1.0 / _PI)
+    pdf_spec = jnp.where(take, pdf_g,
+                         _ggx_pdf(nx, ny, nz, vx, vy, vz, lx, ly, lz, rough))
+    pdf = w_spec * pdf_spec + (1.0 - w_spec) * pdf_d
+    return lx, ly, lz, pdf
+
+
+def _mixture_pdf(nx, ny, nz, vx, vy, vz, lx, ly, lz, alb, rough, metal):
+    w_spec = _spec_weight(nx, ny, nz, vx, vy, vz, alb, metal)
+    pdf_spec = _ggx_pdf(nx, ny, nz, vx, vy, vz, lx, ly, lz, rough)
+    cos_t = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
+    return w_spec * pdf_spec + (1.0 - w_spec) * cos_t * (1.0 / _PI)
+
+
+def _node_importance(nd, px, py, pz):
+    """ComputeClusterImportance in cosine space (ops/lighttree.py) on a
+    (C, _L_COLS) node-attribute block."""
+    blo = [nd[:, _L_BLO + c:_L_BLO + c + 1] for c in range(3)]
+    bhi = [nd[:, _L_BHI + c:_L_BHI + c + 1] for c in range(3)]
+    cx = [(blo[c] + bhi[c]) * 0.5 for c in range(3)]
+    axx, axy, axz = _norm3(cx[0] - px, cx[1] - py, cx[2] - pz)
+
+    min_cos = None
+    for i in range(8):
+        corner = [blo[c] if (i >> c) & 1 == 0 else bhi[c] for c in range(3)]
+        dx, dy, dz = _norm3(corner[0] - px, corner[1] - py, corner[2] - pz)
+        cc = jnp.clip(axx * dx + axy * dy + axz * dz, -1.0, 1.0)
+        min_cos = cc if min_cos is None else jnp.minimum(min_cos, cc)
+    cos_u = min_cos
+    sin_u = jnp.sqrt(jnp.maximum(1.0 - cos_u * cos_u, 0.0))
+
+    dx, dy, dz = px - cx[0], py - cx[1], pz - cx[2]
+    dist2 = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-12)
+    dx, dy, dz = _norm3(dx, dy, dz)
+    ax_n = nd[:, _L_AXIS:_L_AXIS + 1]
+    ay_n = nd[:, _L_AXIS + 1:_L_AXIS + 2]
+    az_n = nd[:, _L_AXIS + 2:_L_AXIS + 3]
+    cos_t = jnp.clip(ax_n * dx + ay_n * dy + az_n * dz, -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+
+    cos_o = nd[:, _L_COS_O:_L_COS_O + 1]
+    sin_o = nd[:, _L_SIN_O:_L_SIN_O + 1]
+    cos_e = nd[:, _L_COS_E:_L_COS_E + 1]
+    sin_e = nd[:, _L_SIN_E:_L_SIN_E + 1]
+
+    cos_a = cos_o * cos_u - sin_o * sin_u
+    sin_a = sin_o * cos_u + cos_o * sin_u
+    cos_diff = cos_t * cos_a + sin_t * jnp.abs(sin_a)
+    a_gt_pi = sin_a < 0.0
+    clamp_low = a_gt_pi | (cos_t >= cos_a)
+    b_ge_pi = a_gt_pi | (cos_e <= -cos_a)
+    cos_b = cos_a * cos_e - sin_a * sin_e
+    clamp_high = (~b_ge_pi) & (cos_t <= cos_b)
+    val = jnp.where(clamp_low, 1.0, jnp.where(clamp_high, cos_e, cos_diff))
+    return nd[:, _L_ENERGY:_L_ENERGY + 1] * val / dist2
 
 
 def make_megakernel(width: int, height: int, bounces: int, samples: int,
-                    sky_color, n_frames: int, n_tris: int, sampler: str = "cosine",
-                    interpret: bool = False):
+                    sky_color, n_frames: int, n_tris: int,
+                    sampler: str = "cosine", n_light_nodes: int = 0,
+                    light_depth: int = 1, interpret: bool = False):
     """Build the jitted megakernel renderer for a fixed configuration.
 
-    Returns ``render(cam_mats, wn, wu, wv, A, frame0) -> (B, 3) summed HDR
-    over ``n_frames`` frames`` where cam_mats = stack([inv_proj, inv_view]).
+    ``sampler``: 'uniform' | 'cosine' | 'ggx' | 'brdf' (hemisphere family,
+    Renderer.cu:565-1284) or 'nee' (NEE+MIS with in-kernel light tree,
+    Renderer.cu:1411-1626).  For 'nee', ``n_light_nodes``/``light_depth``
+    size the node table and the static descent depth.
+
+    Returns ``render(cam_mats, wn, wu, wv, A[, L], frame0) -> (B, 3)``:
+    HDR summed over ``n_frames``; cam_mats = stack([inv_proj, inv_view]).
     """
     B = width * height
     assert B % RAY_TILE == 0, "pixel count must divide RAY_TILE"
@@ -146,9 +362,16 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
     n_tri_tiles = T // TRI_TILE
     C = RAY_TILE
     sky = tuple(float(c) for c in sky_color)
+    nee = sampler == "nee"
+    NL = max(((n_light_nodes + 127) // 128) * 128, 128)
 
-    def kernel(cam_ref, frame_ref, wn_ref, wu_ref, wv_ref, a_ref, out_ref,
-               onehot_ref):
+    def kernel(*refs):
+        if nee:
+            (cam_ref, frame_ref, wn_ref, wu_ref, wv_ref, a_ref, l_ref,
+             out_ref, onehot_ref) = refs
+        else:
+            (cam_ref, frame_ref, wn_ref, wu_ref, wv_ref, a_ref,
+             out_ref, onehot_ref) = refs
         tile = pl.program_id(0)
         cam = cam_ref[:]                   # (8, 4): inv_proj rows, inv_view rows
         ip = cam[0:4]
@@ -156,19 +379,17 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
         pix = tile * C + lane              # (C,1) int32
-        px = (pix % width).astype(jnp.float32)
-        py = (pix // width).astype(jnp.float32)
+        pxf = (pix % width).astype(jnp.float32)
+        pyf = (pix // width).astype(jnp.float32)
 
         # raygen (core/camera.py::generate_rays semantics, top-down rows)
-        cx = (px / width) * 2.0 - 1.0
-        cy = 1.0 - (py / height) * 2.0
-        tx = ip[0, 0] * cx + ip[0, 1] * cy + ip[0, 2] + ip[0, 3]
-        ty = ip[1, 0] * cx + ip[1, 1] * cy + ip[1, 2] + ip[1, 3]
-        tz = ip[2, 0] * cx + ip[2, 1] * cy + ip[2, 2] + ip[2, 3]
-        tw = ip[3, 0] * cx + ip[3, 1] * cy + ip[3, 2] + ip[3, 3]
-        tx, ty, tz = tx / tw, ty / tw, tz / tw
-        inv_len = jax.lax.rsqrt(tx * tx + ty * ty + tz * tz + 1e-20)
-        tx, ty, tz = tx * inv_len, ty * inv_len, tz * inv_len
+        ndc_x = (pxf / width) * 2.0 - 1.0
+        ndc_y = 1.0 - (pyf / height) * 2.0
+        tx = ip[0, 0] * ndc_x + ip[0, 1] * ndc_y + ip[0, 2] + ip[0, 3]
+        ty = ip[1, 0] * ndc_x + ip[1, 1] * ndc_y + ip[1, 2] + ip[1, 3]
+        tz = ip[2, 0] * ndc_x + ip[2, 1] * ndc_y + ip[2, 2] + ip[2, 3]
+        tw = ip[3, 0] * ndc_x + ip[3, 1] * ndc_y + ip[3, 2] + ip[3, 3]
+        tx, ty, tz = _norm3(tx / tw, ty / tw, tz / tw)
         dx0 = iv[0, 0] * tx + iv[0, 1] * ty + iv[0, 2] * tz
         dy0 = iv[1, 0] * tx + iv[1, 1] * ty + iv[1, 2] * tz
         dz0 = iv[2, 0] * tx + iv[2, 1] * ty + iv[2, 2] * tz
@@ -177,8 +398,8 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         oz0 = jnp.zeros_like(dx0) + iv[2, 3]
 
         def trace(ox, oy, oz, dx, dy, dz):
-            """Dense closest-hit; returns (t, hitmask, u, v) (C,1) and fills
-            onehot_ref (C, T) with the winner's one-hot row."""
+            """Dense closest-hit; fills onehot_ref (C, T) with the winner
+            row; returns (t, hitmask, u, v), all (C, 1)."""
             t_best = jnp.full((C, 1), _BIG, jnp.float32)
             u_best = jnp.zeros((C, 1), jnp.float32)
             v_best = jnp.zeros((C, 1), jnp.float32)
@@ -205,7 +426,6 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                 t_tiles.append((t, uu, vv))
                 t_best = jnp.minimum(t_best, jnp.min(t, axis=1, keepdims=True))
 
-            # second pass: winner one-hot + u/v (first occurrence)
             found_before = jnp.zeros((C, 1), jnp.bool_)
             for k in range(n_tri_tiles):
                 t, uu, vv = t_tiles[k]
@@ -225,11 +445,10 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                                            keepdims=True), v_best)
                 found_before = found_before | any_first
 
-            hitmask = t_best < _BIG
-            return t_best, hitmask, u_best, v_best
+            return t_best, t_best < _BIG, u_best, v_best
 
         def lookup_attrs(u, v):
-            """One-hot matmul against the attribute table: (C, A_COLS)."""
+            """One-hot matmul lookup; returns (attrs, nx, ny, nz)."""
             attrs = jnp.dot(onehot_ref[:], a_ref[:],
                             preferred_element_type=jnp.float32)
             w = 1.0 - u - v
@@ -241,31 +460,14 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
             nz = (w * attrs[:, _A_N0 + 2:_A_N0 + 3]
                   + u * attrs[:, _A_N1 + 2:_A_N1 + 3]
                   + v * attrs[:, _A_N2 + 2:_A_N2 + 3])
-            inv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-20)
-            return attrs, nx * inv, ny * inv, nz * inv
-
-        def onb(nx, ny, nz):
-            """MathUtils::BuildOrthonormalBasis (branch by |nx| vs |nz|)."""
-            use_a = nx * nx > nz * nz
-            ax = jnp.where(use_a, -ny, 0.0)
-            ay = jnp.where(use_a, nx, -nz)
-            az = jnp.where(use_a, 0.0, ny)
-            inv = jax.lax.rsqrt(ax * ax + ay * ay + az * az + 1e-20)
-            tx_, ty_, tz_ = ax * inv, ay * inv, az * inv
-            bx = ny * tz_ - nz * ty_
-            by = nz * tx_ - nx * tz_
-            bz = nx * ty_ - ny * tx_
-            binv = jax.lax.rsqrt(bx * bx + by * by + bz * bz + 1e-20)
-            return tx_, ty_, tz_, bx * binv, by * binv, bz * binv
+            return (attrs,) + _norm3(nx, ny, nz)
 
         def cook_torrance(nx, ny, nz, vx, vy, vz, lx, ly, lz, attrs):
-            """Per-channel Cook-Torrance (MathUtils.cuh:276-317), (C,1) ops."""
+            """Per-channel Cook-Torrance (MathUtils.cuh:276-317)."""
             alb = attrs[:, _A_ALBEDO:_A_ALBEDO + 3]
             rough = attrs[:, _A_ROUGH:_A_ROUGH + 1]
             metal = attrs[:, _A_METAL:_A_METAL + 1]
-            hx, hy, hz = vx + lx, vy + ly, vz + lz
-            hinv = jax.lax.rsqrt(hx * hx + hy * hy + hz * hz + 1e-20)
-            hx, hy, hz = hx * hinv, hy * hinv, hz * hinv
+            hx, hy, hz = _norm3(vx + lx, vy + ly, vz + lz)
             ndl = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
             ndv = jnp.maximum(nx * vx + ny * vy + nz * vz, 0.0)
             ndh = jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0)
@@ -278,43 +480,117 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
             den = ndh * ndh * (a2 - 1.0) + 1.0
             d = a2 * (1.0 / _PI) / jnp.maximum(den * den, 1e-12)
             spec_s = d * g / jnp.maximum(4.0 * ndv * ndl, 1e-12)
-            one_m_vdh5 = (1.0 - vdh) ** 5
+            s5 = (1.0 - vdh) ** 5
             live = (ndl > 0.0) & (ndv > 0.0)
             out = []
             for c in range(3):
                 f0 = 0.04 * (1.0 - metal) + alb[:, c:c + 1] * metal
-                fr = f0 + (1.0 - f0) * one_m_vdh5
+                fr = f0 + (1.0 - f0) * s5
                 diff = (1.0 - fr) * alb[:, c:c + 1] * (1.0 / _PI)
                 out.append(jnp.where(live, diff + spec_s * fr, 0.0))
             return out
 
-        def scatter_cosine(key, nx, ny, nz):
-            key, u1 = _next_uniform(key)
-            key, u2 = _next_uniform(key)
-            r = jnp.sqrt(u1)
-            theta = 2.0 * _PI * u2
-            lx = r * jnp.cos(theta)
-            ly = r * jnp.sin(theta)
-            lz = jnp.sqrt(jnp.maximum(0.0, 1.0 - u1))
-            tx_, ty_, tz_, bx, by, bz = onb(nx, ny, nz)
-            wx = tx_ * lx + bx * ly + nx * lz
-            wy = ty_ * lx + by * ly + ny * lz
-            wz = tz_ * lx + bz * ly + nz * lz
-            inv = jax.lax.rsqrt(wx * wx + wy * wy + wz * wz + 1e-20)
-            return key, wx * inv, wy * inv, wz * inv
+        def scatter(key, nx, ny, nz, vx, vy, vz, attrs):
+            """Draws + sampler dispatch (render/integrators.py::_scatter)."""
+            rough = attrs[:, _A_ROUGH:_A_ROUGH + 1]
+            if sampler == "uniform":
+                key, u1 = _next_uniform(key)
+                key, u2 = _next_uniform(key)
+                lx, ly, lz = _uniform_dir(u1, u2, nx, ny, nz)
+                pdf = jnp.full_like(u1, 1.0 / (2.0 * _PI))
+            elif sampler == "cosine":
+                key, u1 = _next_uniform(key)
+                key, u2 = _next_uniform(key)
+                lx, ly, lz = _cosine_dir(u1, u2, nx, ny, nz)
+                cos_t = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
+                pdf = cos_t * (1.0 / _PI)
+            elif sampler == "ggx":
+                key, u1 = _next_uniform(key)
+                key, u2 = _next_uniform(key)
+                lx, ly, lz, pdf = _ggx_sample(u1, u2, nx, ny, nz, vx, vy, vz,
+                                              rough)
+            else:  # brdf mixture (also the NEE continuation)
+                key, u_sel = _next_uniform(key)
+                key, u1 = _next_uniform(key)
+                key, u2 = _next_uniform(key)
+                alb = attrs[:, _A_ALBEDO:_A_ALBEDO + 3]
+                metal = attrs[:, _A_METAL:_A_METAL + 1]
+                lx, ly, lz, pdf = _mixture_sample(u_sel, u1, u2, nx, ny, nz,
+                                                  vx, vy, vz, alb, rough, metal)
+            return key, lx, ly, lz, pdf
 
-        def frame_body(fi, acc):
-            frame = frame_ref[0, 0].astype(jnp.uint32) + fi.astype(jnp.uint32)
+        # ---- light tree (NEE only) ----------------------------------------
+        if nee:
+            iota_n = jax.lax.broadcasted_iota(jnp.int32, (C, NL), 1)
+
+            def node_attrs(idx):
+                onehot = (iota_n == idx).astype(jnp.float32)
+                return jnp.dot(onehot, l_ref[:],
+                               preferred_element_type=jnp.float32)
+
+            def child_probs(par_attrs, px, py, pz):
+                li = jnp.maximum(par_attrs[:, _L_LEFT:_L_LEFT + 1], 0.0).astype(jnp.int32)
+                ri = jnp.maximum(par_attrs[:, _L_RIGHT:_L_RIGHT + 1], 0.0).astype(jnp.int32)
+                i_l = _node_importance(node_attrs(li), px, py, pz)
+                i_r = _node_importance(node_attrs(ri), px, py, pz)
+                s = i_l + i_r
+                p_left = jnp.where(s > 0.0, i_l / jnp.where(s > 0.0, s, 1.0), 0.5)
+                return jnp.clip(p_left, 1e-6, 1.0 - 1e-6), li, ri
+
+            def pick_light(u, px, py, pz):
+                """ops/lighttree.py::pick_light parity."""
+                idx = jnp.zeros((C, 1), jnp.int32)
+                pmf = jnp.ones((C, 1), jnp.float32)
+                rand = jnp.clip(u, 0.0, 0.9999999)
+                for _ in range(light_depth):
+                    nd = node_attrs(idx)
+                    at_leaf = nd[:, _L_LEFT:_L_LEFT + 1] < 0.0
+                    p_left, li, ri = child_probs(nd, px, py, pz)
+                    go_left = rand < p_left
+                    new_pmf = pmf * jnp.where(go_left, p_left, 1.0 - p_left)
+                    new_rand = jnp.where(go_left, rand / p_left,
+                                         (rand - p_left) / (1.0 - p_left))
+                    new_idx = jnp.where(go_left, li, ri)
+                    idx = jnp.where(at_leaf, idx, new_idx)
+                    pmf = jnp.where(at_leaf, pmf, new_pmf)
+                    rand = jnp.where(at_leaf, rand,
+                                     jnp.clip(new_rand, 0.0, 0.9999999))
+                tri_sel = node_attrs(idx)[:, _L_TRI:_L_TRI + 1]
+                return tri_sel.astype(jnp.int32), pmf
+
+            def emitter_pmf(leaf, px, py, pz):
+                """ops/lighttree.py::emitter_pmf parity (bottom-up replay)."""
+                in_tree = leaf >= 0
+                idx = jnp.maximum(leaf, 0)
+                pmf = jnp.ones((C, 1), jnp.float32)
+                for _ in range(light_depth):
+                    nd = node_attrs(idx)
+                    par = nd[:, _L_PARENT:_L_PARENT + 1]
+                    valid = par >= 0.0
+                    parc = jnp.maximum(par, 0.0).astype(jnp.int32)
+                    pd = node_attrs(parc)
+                    p_left, li, ri = child_probs(pd, px, py, pz)
+                    went_left = li == idx
+                    step = jnp.where(went_left, p_left, 1.0 - p_left)
+                    pmf = pmf * jnp.where(valid, step, 1.0)
+                    idx = jnp.where(valid, parc, idx)
+                return jnp.where(in_tree, pmf, 0.0)
+
+            iota_t = jax.lax.broadcasted_iota(jnp.int32, (C, T), 1)
+
+            def light_tri_attrs(tri_sel):
+                onehot = (iota_t == tri_sel).astype(jnp.float32)
+                return onehot, jnp.dot(onehot, a_ref[:],
+                                       preferred_element_type=jnp.float32)
+
+        # ---- frame bodies --------------------------------------------------
+        def hemisphere_frame(frame):
             rad = [jnp.zeros((C, 1), jnp.float32) for _ in range(3)]
-
-            # primary hit (shared across samples)
             t0, hit0, u0, v0 = trace(ox0, oy0, oz0, dx0, dy0, dz0)
             attrs0, nx0, ny0, nz0 = lookup_attrs(u0, v0)
             em0 = attrs0[:, _A_EMISSION:_A_EMISSION + 3]
-            em0_len2 = jnp.sum(em0 * em0, axis=1, keepdims=True)
-            prim_emissive = hit0 & (em0_len2 > 0.0)
+            prim_emissive = hit0 & (jnp.sum(em0 * em0, axis=1, keepdims=True) > 0.0)
             path_lane = hit0 & ~prim_emissive
-
             hx0 = ox0 + dx0 * t0
             hy0 = oy0 + dy0 * t0
             hz0 = oz0 + dz0 * t0
@@ -328,10 +604,9 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                 active = path_lane
                 thr = [jnp.ones((C, 1), jnp.float32) for _ in range(3)]
 
-                # scatter at primary hit (view = -camera dir)
-                key, sx, sy, sz = scatter_cosine(key, nx0, ny0, nz0)
+                key, sx, sy, sz, pdf = scatter(key, nx0, ny0, nz0,
+                                               -dx0, -dy0, -dz0, attrs0)
                 cos_t = jnp.maximum(sx * nx0 + sy * ny0 + sz * nz0, 0.0)
-                pdf = cos_t * (1.0 / _PI)
                 ok = pdf > 0.0
                 f = cook_torrance(nx0, ny0, nz0, -dx0, -dy0, -dz0,
                                   sx, sy, sz, attrs0)
@@ -357,9 +632,9 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                                                     thr[c] * em[:, c:c + 1], 0.0)
                     active = active & ~em_hit
 
-                    key, sx, sy, sz = scatter_cosine(key, nx, ny, nz)
+                    key, sx, sy, sz, pdf = scatter(key, nx, ny, nz,
+                                                   -cdx, -cdy, -cdz, attrs)
                     cos_t = jnp.maximum(sx * nx + sy * ny + sz * nz, 0.0)
-                    pdf = cos_t * (1.0 / _PI)
                     ok = pdf > 0.0
                     f = cook_torrance(nx, ny, nz, -cdx, -cdy, -cdz,
                                       sx, sy, sz, attrs)
@@ -379,6 +654,142 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                 r = jnp.where(hit0, r, sky[c])
                 r = jnp.where(prim_emissive, em0[:, c:c + 1], r)
                 out.append(r)
+            return out
+
+        def nee_frame(frame):
+            """radiance_nee_mis parity (render/integrators.py)."""
+            rad = [jnp.zeros((C, 1), jnp.float32) for _ in range(3)]
+            t0, hit0, u0, v0 = trace(ox0, oy0, oz0, dx0, dy0, dz0)
+            attrs0, nx0, ny0, nz0 = lookup_attrs(u0, v0)
+            em0 = attrs0[:, _A_EMISSION:_A_EMISSION + 3]
+            prim_emissive = hit0 & (jnp.sum(em0 * em0, axis=1, keepdims=True) > 0.0)
+            path_lane = hit0 & ~prim_emissive
+            hx0 = ox0 + dx0 * t0
+            hy0 = oy0 + dy0 * t0
+            hz0 = oz0 + dz0 * t0
+            single = bounces == 1
+
+            for s in range(samples):
+                key = _pcg(pix.astype(jnp.uint32))
+                key = _fold(key, frame)
+                key = _fold(key, _u32(s))
+                key = _fold(key, _u32(0))
+
+                active = path_lane
+                thr = [jnp.ones((C, 1), jnp.float32) for _ in range(3)]
+                attrs, nx, ny, nz = attrs0, nx0, ny0, nz0
+                hx, hy, hz = hx0, hy0, hz0
+                cdx, cdy, cdz = dx0, dy0, dz0
+
+                for _b in range(bounces):
+                    vx, vy, vz = -cdx, -cdy, -cdz
+                    # ---- direct light sample -------------------------------
+                    key, u_pick = _next_uniform(key)
+                    key, lu1 = _next_uniform(key)
+                    key, lu2 = _next_uniform(key)
+                    lt_tri, pmf = pick_light(u_pick, hx, hy, hz)
+                    oh_sel, lat = light_tri_attrs(lt_tri)
+                    su = jnp.sqrt(lu1)
+                    b1 = su * (1.0 - lu2)
+                    b2 = su * lu2
+                    ptx = lat[:, _A_P0:_A_P0 + 1] + lat[:, _A_E1:_A_E1 + 1] * b1 + lat[:, _A_E2:_A_E2 + 1] * b2
+                    pty = lat[:, _A_P0 + 1:_A_P0 + 2] + lat[:, _A_E1 + 1:_A_E1 + 2] * b1 + lat[:, _A_E2 + 1:_A_E2 + 2] * b2
+                    ptz = lat[:, _A_P0 + 2:_A_P0 + 3] + lat[:, _A_E1 + 2:_A_E1 + 3] * b1 + lat[:, _A_E2 + 2:_A_E2 + 3] * b2
+                    lnx = lat[:, _A_N0:_A_N0 + 1] + lat[:, _A_N1:_A_N1 + 1] + lat[:, _A_N2:_A_N2 + 1]
+                    lny = lat[:, _A_N0 + 1:_A_N0 + 2] + lat[:, _A_N1 + 1:_A_N1 + 2] + lat[:, _A_N2 + 1:_A_N2 + 2]
+                    lnz = lat[:, _A_N0 + 2:_A_N0 + 3] + lat[:, _A_N1 + 2:_A_N1 + 3] + lat[:, _A_N2 + 2:_A_N2 + 3]
+                    lnx, lny, lnz = _norm3(lnx, lny, lnz)
+                    tlx, tly, tlz = ptx - hx, pty - hy, ptz - hz
+                    dist = jnp.sqrt(jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20))
+                    ldx, ldy, ldz = tlx / dist, tly / dist, tlz / dist
+
+                    t_sh, hit_sh, _, _ = trace(hx + nx * 1e-12, hy + ny * 1e-12,
+                                               hz + nz * 1e-12, ldx, ldy, ldz)
+                    vis = jnp.sum(onehot_ref[:] * oh_sel, axis=1,
+                                  keepdims=True) > 0.5
+                    visible = vis & (lt_tri >= 0)
+
+                    fd = cook_torrance(nx, ny, nz, vx, vy, vz,
+                                       ldx, ldy, ldz, attrs)
+                    cos_x = jnp.maximum(ldx * nx + ldy * ny + ldz * nz, 0.0)
+                    cos_y = jnp.maximum(-(ldx * lnx + ldy * lny + ldz * lnz), 1e-12)
+                    area = jnp.maximum(lat[:, _A_AREA:_A_AREA + 1], 1e-20)
+                    pdf_direct = pmf * (1.0 / area) * dist * dist / cos_y
+                    alb = attrs[:, _A_ALBEDO:_A_ALBEDO + 3]
+                    rough = attrs[:, _A_ROUGH:_A_ROUGH + 1]
+                    metal = attrs[:, _A_METAL:_A_METAL + 1]
+                    pdf_brdf_l = _mixture_pdf(nx, ny, nz, vx, vy, vz,
+                                              ldx, ldy, ldz, alb, rough, metal)
+                    lem = lat[:, _A_EMISSION:_A_EMISSION + 3]
+                    if single:
+                        w_direct = jnp.ones_like(pdf_direct)
+                    else:
+                        w_direct = pdf_direct / jnp.maximum(pdf_brdf_l + pdf_direct, 1e-12)
+                    dscale = w_direct / jnp.maximum(pdf_direct, 1e-20) * cos_x
+                    lane = active & visible & (pmf > 0.0)
+                    for c in range(3):
+                        rad[c] = rad[c] + jnp.where(lane, thr[c] * dscale * fd[c] * lem[:, c:c + 1], 0.0)
+
+                    if single:
+                        break
+
+                    # ---- BRDF continuation ---------------------------------
+                    key, sx, sy, sz, pdf_brdf = scatter(key, nx, ny, nz,
+                                                        vx, vy, vz, attrs)
+                    fc = cook_torrance(nx, ny, nz, vx, vy, vz, sx, sy, sz, attrs)
+                    cos_t = jnp.maximum(sx * nx + sy * ny + sz * nz, 0.0)
+                    ok = pdf_brdf > 0.0
+                    cscale = cos_t / jnp.maximum(pdf_brdf, 1e-12)
+                    for c in range(3):
+                        thr[c] = thr[c] * fc[c] * cscale
+                    active = active & ok
+
+                    nox = hx + nx * 1e-12
+                    noy = hy + ny * 1e-12
+                    noz = hz + nz * 1e-12
+                    t, hit, uu, vv = trace(nox, noy, noz, sx, sy, sz)
+                    new_attrs, nnx, nny, nnz = lookup_attrs(uu, vv)
+                    miss = ~hit
+                    for c in range(3):
+                        rad[c] = rad[c] + jnp.where(active & miss,
+                                                    thr[c] * sky[c], 0.0)
+                    active = active & hit
+
+                    em = new_attrs[:, _A_EMISSION:_A_EMISSION + 3]
+                    em_hit = jnp.sum(em * em, axis=1, keepdims=True) > 0.0
+                    # MIS with light pdf at the ACTUAL hit point
+                    cos_y2 = jnp.maximum(-(sx * nnx + sy * nny + sz * nnz), 1e-12)
+                    area2 = jnp.maximum(new_attrs[:, _A_AREA:_A_AREA + 1], 1e-20)
+                    leaf = new_attrs[:, _A_LEAF:_A_LEAF + 1].astype(jnp.int32)
+                    pmf2 = emitter_pmf(leaf, hx, hy, hz)
+                    dist2 = jnp.maximum(t, 0.0)
+                    pdf_direct2 = pmf2 * (1.0 / area2) * dist2 * dist2 / cos_y2
+                    w_brdf = pdf_brdf / jnp.maximum(pdf_brdf + pdf_direct2, 1e-12)
+                    for c in range(3):
+                        rad[c] = rad[c] + jnp.where(active & em_hit,
+                                                    thr[c] * em[:, c:c + 1] * w_brdf, 0.0)
+                    active = active & ~em_hit
+
+                    attrs, nx, ny, nz = new_attrs, nnx, nny, nnz
+                    hx = nox + sx * t
+                    hy = noy + sy * t
+                    hz = noz + sz * t
+                    cdx, cdy, cdz = sx, sy, sz
+
+            inv_s = 1.0 / float(samples)
+            out = []
+            for c in range(3):
+                r = rad[c] * inv_s
+                r = jnp.where(hit0, r, sky[c])
+                r = jnp.where(prim_emissive, em0[:, c:c + 1], r)
+                out.append(r)
+            return out
+
+        frame_fn = nee_frame if nee else hemisphere_frame
+
+        def frame_body(fi, acc):
+            frame = frame_ref[0, 0].astype(jnp.uint32) + fi.astype(jnp.uint32)
+            out = frame_fn(frame)
             return (acc[0] + out[0], acc[1] + out[1], acc[2] + out[2])
 
         acc0 = (jnp.zeros((C, 1), jnp.float32),) * 3
@@ -390,25 +801,36 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
     grid = (B // C,)
     full = lambda i: (0, 0)
 
+    in_specs = [
+        pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
+        pl.BlockSpec((4, T), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, T), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, T), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, _A_COLS), full, memory_space=pltpu.VMEM),
+    ]
+    if nee:
+        in_specs.append(pl.BlockSpec((NL, _L_COLS), full,
+                                     memory_space=pltpu.VMEM))
+
     @jax.jit
-    def render(cam_mats, wn, wu, wv, A, frame0):
+    def render(cam_mats, wn, wu, wv, A, frame0, L=None):
+        args = [cam_mats, frame0, wn, wu, wv, A]
+        if nee:
+            Lp = L
+            if Lp.shape[0] < NL:
+                Lp = jnp.pad(Lp, ((0, NL - Lp.shape[0]), (0, 0)))
+            args.append(Lp)
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
-                pl.BlockSpec((4, T), full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, T), full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, T), full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((T, _A_COLS), full, memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((C, 3), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, 3), jnp.float32),
             scratch_shapes=[pltpu.VMEM((C, T), jnp.float32)],
             interpret=interpret,
-        )(cam_mats, frame0, wn, wu, wv, A)
+        )(*args)
 
     return render
 
@@ -421,14 +843,19 @@ class MegakernelRenderer:
         avg_hdr = mk.render_many(64)   # one kernel launch
     """
 
+    SAMPLER_OF = {0: "uniform", 1: "uniform", 2: "cosine", 3: "ggx",
+                  4: "brdf", 6: "nee"}
+
     def __init__(self, scene: Scene, camera, settings, interpret: bool = False):
         self.scene = scene
         self.camera = camera
         self.settings = settings
         self.frame_index = 1
         self.interpret = interpret
-        self.tables = prepare_scene_tables(
-            jax.tree_util.tree_map(jnp.asarray, scene))
+        dscene = jax.tree_util.tree_map(jnp.asarray, scene)
+        self.tables = prepare_scene_tables(dscene)
+        self.sampler = self.SAMPLER_OF[int(settings.technique)]
+        self.light_table, self.light_depth = prepare_light_table(dscene)
         self.accum = jnp.zeros((camera.height * camera.width, 3), jnp.float32)
         self._render_cache = {}
 
@@ -438,7 +865,9 @@ class MegakernelRenderer:
             self._render_cache[key] = make_megakernel(
                 self.camera.width, self.camera.height, self.settings.bounces,
                 self.settings.samples, self.settings.sky_color, n_frames,
-                self.scene.geometry.tri_v.shape[0], interpret=self.interpret)
+                self.scene.geometry.tri_v.shape[0], sampler=self.sampler,
+                n_light_nodes=self.light_table.shape[0],
+                light_depth=self.light_depth, interpret=self.interpret)
         return self._render_cache[key]
 
     def render_many(self, n_frames: int):
@@ -447,7 +876,8 @@ class MegakernelRenderer:
             jnp.asarray(self.camera.inv_view)], axis=0)
         frame0 = jnp.asarray([[self.frame_index]], jnp.int32)
         wn, wu, wv, A = self.tables
-        summed = self._renderer(n_frames)(cam_mats, wn, wu, wv, A, frame0)
+        summed = self._renderer(n_frames)(cam_mats, wn, wu, wv, A, frame0,
+                                          L=self.light_table)
         self.accum = self.accum + summed
         self.frame_index += n_frames
         h, w = self.camera.height, self.camera.width
