@@ -862,9 +862,12 @@ class MegakernelRenderer:
     def _renderer(self, n_frames: int):
         key = n_frames
         if key not in self._render_cache:
+            # brute force traces exactly 1 path/frame regardless of the
+            # sample count (Renderer.cu:565-701)
+            samples = 1 if int(self.settings.technique) == 0 else self.settings.samples
             self._render_cache[key] = make_megakernel(
                 self.camera.width, self.camera.height, self.settings.bounces,
-                self.settings.samples, self.settings.sky_color, n_frames,
+                samples, self.settings.sky_color, n_frames,
                 self.scene.geometry.tri_v.shape[0], sampler=self.sampler,
                 n_light_nodes=self.light_table.shape[0],
                 light_depth=self.light_depth, interpret=self.interpret)
