@@ -1,0 +1,150 @@
+"""Sharded ReSTIR — spatiotemporal reuse across pixel-shard boundaries.
+
+The reference's ReSTIR spatial reuse reads random neighbors within a
+30-pixel radius in a single GPU's memory (Renderer.cu:1913-1941).  Under
+multi-chip pixel sharding those reads cross shard boundaries; SURVEY.md
+§2.7/§5 maps this to **halo exchange over ICI**.
+
+Implementation: the image is sharded by pixel *rows* across the mesh.
+Stage 1 (candidates + temporal) is shard-local (temporal reprojection
+reads the shard's own previous-frame state; exact for static cameras,
+clamped for moving ones).  Between stages each shard exchanges ``radius``
+rows of its stage-1 output with both neighbors via ``jax.lax.ppermute``
+(ICI collectives); stage 2's neighbor gathers then index the
+local-plus-halo arrays, bit-compatible with the single-chip renderer
+(identical RNG offsets; |dy| <= radius by construction, so every drawable
+neighbor is inside the halo).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fypraytracer_tpu.core.camera import generate_rays
+from fypraytracer_tpu.core.mathutils import encode_octahedral
+from fypraytracer_tpu.ops.dense import pick_tracer
+from fypraytracer_tpu.render import restir_di
+
+
+def _halo_exchange(x, halo_elems: int, axis: str):
+    """Concatenate [tail of up-neighbor, x, head of down-neighbor].
+
+    Edge shards receive zero-filled halos (their reservoirs carry m == 0,
+    so merges reject them, matching clamped out-of-image neighbors).
+    """
+    n = jax.lax.psum(1, axis)
+    idx = jax.lax.axis_index(axis)
+    up = [(i, (i - 1) % n) for i in range(n)]     # our head -> their bottom halo
+    down = [(i, (i + 1) % n) for i in range(n)]   # our tail -> their top halo
+
+    head = jax.lax.slice_in_dim(x, 0, halo_elems, axis=0)
+    tail = jax.lax.slice_in_dim(x, x.shape[0] - halo_elems, x.shape[0], axis=0)
+
+    from_below = jax.lax.ppermute(head, axis, up)
+    from_above = jax.lax.ppermute(tail, axis, down)
+
+    zero = jnp.zeros_like(from_above)
+    from_above = jnp.where(idx == 0, zero, from_above)
+    from_below = jnp.where(idx == n - 1, zero, from_below)
+    return jnp.concatenate([from_above, x, from_below], axis=0)
+
+
+class _Shifted:
+    """Global-index view over a shard-local array: indexing clamps
+    (idx - base) into the local extent.  part1/part2 index their inputs
+    with global pixel ids, so shard-local arrays wear this shim."""
+
+    def __init__(self, arr, base):
+        self.arr = arr
+        self.base = base
+
+    def __getitem__(self, idx):
+        local = jnp.clip(idx - self.base, 0, self.arr.shape[0] - 1)
+        return self.arr[local]
+
+
+def make_restir_di_sharded(scene, mesh: Mesh, width: int, height: int,
+                           settings, axis: str = "px"):
+    """Build a pjit-ed sharded ReSTIR DI frame renderer.
+
+    Height must divide the mesh size and the spatial radius must fit in
+    one shard's rows (halo spans one neighbor shard each side).
+    Returns ``(step, init_state)`` where ``step(inv_proj, inv_view,
+    prev_proj_view, frame, state) -> (hdr (H*W, 3) row-sharded,
+    new_state)``.
+    """
+    n_dev = mesh.devices.size
+    assert height % n_dev == 0, f"height {height} not divisible by {n_dev}"
+    rows = height // n_dev
+    radius = int(settings.spatial_radius)
+    assert radius <= rows, (
+        f"spatial radius {radius} exceeds shard rows {rows}; "
+        "use fewer devices or a smaller radius")
+    halo = radius * width
+
+    def shard_step(scene_rep, inv_proj, inv_view, ppv, frame, pixel_ids, state):
+        trace = pick_tracer(scene_rep, settings.tracer)
+        ys = pixel_ids // width
+        xs = pixel_ids % width
+        origins, directions = generate_rays(inv_proj, inv_view, width, height,
+                                            xp=jnp, pixel_x=xs, pixel_y=ys)
+
+        shard_row0 = jax.lax.axis_index(axis) * rows
+        own_base = shard_row0 * width
+
+        state_view = dict(
+            normal_oct=_Shifted(state["normal_oct"], own_base),
+            depth=state["depth"],
+            reservoir={k: _Shifted(v, own_base)
+                       for k, v in state["reservoir"].items()})
+        g = restir_di.restir_di_part1(scene_rep, trace, origins, directions,
+                                      pixel_ids.astype(jnp.uint32), frame,
+                                      settings, state_view, width, height, ppv)
+
+        # halo exchange of every stage-1 field over ICI
+        g_halo = {k: _halo_exchange(v, halo, axis) for k, v in g.items()}
+
+        # stage 2: halo row 0 corresponds to global row (shard_row0 - radius)
+        halo_base = (shard_row0 - radius) * width
+        full_view = {k: _Shifted(v, halo_base) for k, v in g_halo.items()}
+
+        hdr, res = restir_di.restir_di_part2(
+            scene_rep, trace, origins, directions,
+            pixel_ids.astype(jnp.uint32), frame, settings, g, full_view,
+            width, height)
+
+        new_state = dict(
+            reservoir=dict(index=res["index"], w=res["w"], pdf=res["pdf"],
+                           wsum=res["wsum"], m=res["m"]),
+            depth=g["t"],
+            normal_oct=encode_octahedral(g["normal"]))
+        return hdr, new_state
+
+    state_specs = jax.tree_util.tree_map(lambda _: P(axis), _state_skeleton())
+    sharded = jax.shard_map(
+        shard_step, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(axis), state_specs),
+        out_specs=(P(axis), state_specs))
+
+    @jax.jit
+    def step(inv_proj, inv_view, ppv, frame, state):
+        pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
+        return sharded(scene, inv_proj, inv_view, ppv,
+                       frame.astype(jnp.uint32), pixel_ids, state)
+
+    def init_state():
+        st = restir_di.init_state(width * height, xp=np)
+        sharding = jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P(axis)), st)
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(jnp.asarray(x), s), st, sharding)
+
+    return step, init_state
+
+
+def _state_skeleton():
+    """Pytree skeleton of the ReSTIR DI state, for spec construction."""
+    return restir_di.init_state(1, xp=np)
