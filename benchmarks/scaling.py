@@ -1,0 +1,91 @@
+"""Multi-chip scaling benchmark (BASELINE.md: ≥85% rays/s efficiency at
+1 chip → 1 host → N hosts).
+
+Measures the data-parallel sharded renderer at 1..N devices on whatever
+devices exist (real TPU slice, or CPU virtual devices for harness
+validation — pass --cpu N).  Reports a JSON table of rays/s and scaling
+efficiency vs the single-device run.
+
+Usage::
+    python benchmarks/scaling.py                 # real devices
+    python benchmarks/scaling.py --cpu 8         # 8 virtual CPU devices
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", type=int, default=0,
+                    help="force N virtual CPU devices (harness validation)")
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--bounces", type=int, default=2)
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + f" --xla_force_host_platform_device_count={args.cpu}")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fypraytracer_tpu.config import RenderSettings, SamplingTechnique
+    from fypraytracer_tpu.parallel.shard import (
+        make_pixel_mesh, replicate_scene, sharded_render)
+    from fypraytracer_tpu.scene.procedural import cornell_box
+    from fypraytracer_tpu.utils.metrics import rays_per_second
+
+    def fence(x):
+        return np.asarray(jax.jit(lambda v: v.ravel()[0])(x))
+
+    builder, cam = cornell_box(width=args.width, height=args.height)
+    scene = builder.compile()
+    settings = RenderSettings(technique=SamplingTechnique.COSINE,
+                              bounces=args.bounces, samples=1)
+
+    devices = jax.devices()
+    counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
+    rows = []
+    base_rps = None
+    for n in counts:
+        mesh = make_pixel_mesh(devices[:n])
+        scene_r = replicate_scene(scene, mesh)
+        render = sharded_render(scene_r, mesh, args.width, args.height,
+                                settings, "cosine")
+        ip = jnp.asarray(cam.inv_projection)
+        iv = jnp.asarray(cam.inv_view)
+        fence(render(ip, iv, jnp.uint32(1)))  # compile
+        t0 = time.perf_counter()
+        for f in range(args.frames):
+            out = render(ip, iv, jnp.uint32(f + 2))
+        fence(out)
+        dt = max((time.perf_counter() - t0 - 0.4) / args.frames, 1e-9)
+        rps = rays_per_second(args.width, args.height, 1, args.bounces, dt)
+        if base_rps is None:
+            base_rps = rps
+        rows.append({"devices": n, "frame_ms": round(dt * 1000, 2),
+                     "rays_per_s": round(rps, 0),
+                     "scaling_efficiency": round(rps / (base_rps * n), 3)})
+        print(json.dumps(rows[-1]))
+
+    with open(os.path.join(os.path.dirname(__file__), "scaling_results.json"),
+              "w") as f:
+        json.dump({"config": vars(args), "rows": rows}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

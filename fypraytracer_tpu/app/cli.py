@@ -62,13 +62,36 @@ def _settings(args, technique) -> RenderSettings:
         temporal_history_limit=args.history)
 
 
-def _render_run(scene, cam, settings, frames=None, seconds=None):
-    """Accumulate frames; returns (avg_hdr, frames, avg_frame_ms)."""
+def _render_run(scene, cam, settings, frames=None, seconds=None, impl="auto"):
+    """Accumulate frames; returns (avg_hdr, frames, avg_frame_ms).
+
+    ``impl``: 'auto' | 'wavefront' | 'megakernel' — megakernel is the fast
+    fused path for untextured hemisphere/NEE configs (render/megakernel.py)
+    and requires a frame budget (``frames``).
+    """
     from fypraytracer_tpu.render.renderer import Renderer
+
+    use_mk = impl == "megakernel" or (
+        impl == "auto" and frames is not None and frames >= 16
+        and int(settings.technique) in (0, 1, 2, 3, 4, 6)
+        and len(getattr(scene.textures, "pages", [])) <= 1
+        and (cam.width * cam.height) % 256 == 0)
+    if use_mk:
+        try:
+            from fypraytracer_tpu.render.megakernel import MegakernelRenderer
+
+            mk = MegakernelRenderer(scene, cam, settings)
+            np.asarray(mk.render_many(frames))  # batch 1: compile + frames
+            t0 = time.perf_counter()
+            avg = np.asarray(mk.render_many(frames))  # batch 2: timed
+            dt = time.perf_counter() - t0
+            return avg, 2 * frames, dt / frames * 1000.0
+        except Exception:
+            pass  # fall through to the wavefront renderer
 
     r = Renderer(scene, cam, settings)
     avg = r.render_hdr()
-    avg.block_until_ready()  # exclude compile from timing
+    np.asarray(avg)  # exclude compile from timing (forces completion)
     r.reset()
 
     t0 = time.perf_counter()
@@ -80,9 +103,9 @@ def _render_run(scene, cam, settings, frames=None, seconds=None):
             break
         if seconds is not None and time.perf_counter() - t0 >= seconds:
             break
-    avg.block_until_ready()
+    avg = np.asarray(avg)
     dt = time.perf_counter() - t0
-    return np.asarray(avg), n, dt / n * 1000.0
+    return avg, n, dt / n * 1000.0
 
 
 def _save(outdir, name, hdr, settings, avg_ms, minutes, golden=None):
@@ -114,7 +137,7 @@ def cmd_render(args):
     scene, cam = _load_scene(args)
     settings = _settings(args, _TECH[args.technique])
     hdr, n, avg_ms = _render_run(scene, cam, settings, frames=args.frames,
-                                 seconds=args.seconds)
+                                 seconds=args.seconds, impl=args.impl)
     base, mse, psnr = _save(args.out, args.technique, hdr, settings, avg_ms,
                             n * avg_ms / 60000.0, args.golden)
     print(json.dumps({"output": base, "frames": n,
@@ -220,6 +243,8 @@ def main(argv=None):
     r.add_argument("--frames", type=int, default=None)
     r.add_argument("--seconds", type=float, default=None)
     r.add_argument("--golden", default=None, help="golden BMP for MSE/PSNR")
+    r.add_argument("--impl", choices=["auto", "wavefront", "megakernel"],
+                   default="auto", help="renderer implementation")
     r.add_argument("-o", "--out", default="RenderedImages")
     r.set_defaults(fn=cmd_render)
 

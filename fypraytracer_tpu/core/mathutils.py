@@ -281,6 +281,14 @@ def cook_torrance_brdf(normal, view, l, albedo, metallic, roughness):
     return xp.where((n_dot_l > 0.0) & (n_dot_v > 0.0), val, 0.0)
 
 
+def linearize_depth(depth, near, far):
+    """Depth-buffer linearization (MathUtils.cuh:319-326): [0,1] depth →
+    NDC → linear, remapped to [0,1]."""
+    z = depth * 2.0 - 1.0
+    lin = (2.0 * near * far) / (far + near - z * (far - near))
+    return lin * 0.5 + 0.5
+
+
 # ---------------------------------------------------------------------------
 # Octahedral normal encoding (MathUtils.cuh:328-374) — ReSTIR GI payloads
 # ---------------------------------------------------------------------------
