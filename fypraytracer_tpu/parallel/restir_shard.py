@@ -66,16 +66,18 @@ class _Shifted:
         return self.arr[local]
 
 
-def make_restir_di_sharded(scene, mesh: Mesh, width: int, height: int,
-                           settings, axis: str = "px"):
-    """Build a pjit-ed sharded ReSTIR DI frame renderer.
+def _shift_tree(tree, base):
+    """Wrap every array leaf of a (possibly nested) state dict in a
+    global-index shim."""
+    if isinstance(tree, dict):
+        return {k: _shift_tree(v, base) for k, v in tree.items()}
+    return _Shifted(tree, base)
 
-    Height must divide the mesh size and the spatial radius must fit in
-    one shard's rows (halo spans one neighbor shard each side).
-    Returns ``(step, init_state)`` where ``step(inv_proj, inv_view,
-    prev_proj_view, frame, state) -> (hdr (H*W, 3) row-sharded,
-    new_state)``.
-    """
+
+def _make_restir_sharded(scene, mesh: Mesh, width: int, height: int,
+                         settings, module, part1, part2, pack_state,
+                         axis: str = "px"):
+    """Shared builder for sharded ReSTIR DI / GI (see make_* wrappers)."""
     n_dev = mesh.devices.size
     assert height % n_dev == 0, f"height {height} not divisible by {n_dev}"
     rows = height // n_dev
@@ -95,14 +97,12 @@ def make_restir_di_sharded(scene, mesh: Mesh, width: int, height: int,
         shard_row0 = jax.lax.axis_index(axis) * rows
         own_base = shard_row0 * width
 
-        state_view = dict(
-            normal_oct=_Shifted(state["normal_oct"], own_base),
-            depth=state["depth"],
-            reservoir={k: _Shifted(v, own_base)
-                       for k, v in state["reservoir"].items()})
-        g = restir_di.restir_di_part1(scene_rep, trace, origins, directions,
-                                      pixel_ids.astype(jnp.uint32), frame,
-                                      settings, state_view, width, height, ppv)
+        state_view = dict(state)
+        state_view["normal_oct"] = _Shifted(state["normal_oct"], own_base)
+        state_view["reservoir"] = _shift_tree(state["reservoir"], own_base)
+        g = part1(scene_rep, trace, origins, directions,
+                  pixel_ids.astype(jnp.uint32), frame, settings, state_view,
+                  width, height, ppv)
 
         # halo exchange of every stage-1 field over ICI
         g_halo = {k: _halo_exchange(v, halo, axis) for k, v in g.items()}
@@ -111,19 +111,13 @@ def make_restir_di_sharded(scene, mesh: Mesh, width: int, height: int,
         halo_base = (shard_row0 - radius) * width
         full_view = {k: _Shifted(v, halo_base) for k, v in g_halo.items()}
 
-        hdr, res = restir_di.restir_di_part2(
-            scene_rep, trace, origins, directions,
-            pixel_ids.astype(jnp.uint32), frame, settings, g, full_view,
-            width, height)
+        hdr, res = part2(scene_rep, trace, origins, directions,
+                         pixel_ids.astype(jnp.uint32), frame, settings, g,
+                         full_view, width, height)
+        return hdr, pack_state(res, g)
 
-        new_state = dict(
-            reservoir=dict(index=res["index"], w=res["w"], pdf=res["pdf"],
-                           wsum=res["wsum"], m=res["m"]),
-            depth=g["t"],
-            normal_oct=encode_octahedral(g["normal"]))
-        return hdr, new_state
-
-    state_specs = jax.tree_util.tree_map(lambda _: P(axis), _state_skeleton())
+    state_specs = jax.tree_util.tree_map(
+        lambda _: P(axis), module.init_state(1, xp=np))
     sharded = jax.shard_map(
         shard_step, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(axis), state_specs),
@@ -136,7 +130,7 @@ def make_restir_di_sharded(scene, mesh: Mesh, width: int, height: int,
                        frame.astype(jnp.uint32), pixel_ids, state)
 
     def init_state():
-        st = restir_di.init_state(width * height, xp=np)
+        st = module.init_state(width * height, xp=np)
         sharding = jax.tree_util.tree_map(
             lambda _: NamedSharding(mesh, P(axis)), st)
         return jax.tree_util.tree_map(
@@ -145,6 +139,37 @@ def make_restir_di_sharded(scene, mesh: Mesh, width: int, height: int,
     return step, init_state
 
 
-def _state_skeleton():
-    """Pytree skeleton of the ReSTIR DI state, for spec construction."""
-    return restir_di.init_state(1, xp=np)
+def make_restir_di_sharded(scene, mesh: Mesh, width: int, height: int,
+                           settings, axis: str = "px"):
+    """Sharded ReSTIR DI: ``(step, init_state)`` where ``step(inv_proj,
+    inv_view, prev_proj_view, frame, state) -> (hdr row-sharded, state)``."""
+
+    def pack_state(res, g):
+        return dict(
+            reservoir=dict(index=res["index"], w=res["w"], pdf=res["pdf"],
+                           wsum=res["wsum"], m=res["m"]),
+            depth=g["t"],
+            normal_oct=encode_octahedral(g["normal"]))
+
+    return _make_restir_sharded(scene, mesh, width, height, settings,
+                                restir_di, restir_di.restir_di_part1,
+                                restir_di.restir_di_part2, pack_state, axis)
+
+
+def make_restir_gi_sharded(scene, mesh: Mesh, width: int, height: int,
+                           settings, axis: str = "px"):
+    """Sharded ReSTIR GI (same halo pattern; stage-1 fields include the
+    PathSample payload, flattened with s_ prefixes)."""
+    from fypraytracer_tpu.render import restir_gi
+
+    def pack_state(flat_res, g):
+        sample = {k[2:]: v for k, v in flat_res.items() if k.startswith("s_")}
+        return dict(
+            reservoir=dict(sample=sample, w=flat_res["w"], m=flat_res["m"],
+                           wsum=flat_res["wsum"]),
+            depth=g["t"],
+            normal_oct=encode_octahedral(g["normal"]))
+
+    return _make_restir_sharded(scene, mesh, width, height, settings,
+                                restir_gi, restir_gi.restir_gi_part1,
+                                restir_gi.restir_gi_part2, pack_state, axis)

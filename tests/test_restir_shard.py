@@ -68,3 +68,59 @@ def test_sharded_restir_di_matches_single_chip(n_devices):
     # on isolated pixels; require statistical + overwhelming agreement
     assert (diff.max(axis=-1) > 1e-3).mean() < 0.03, diff.max()
     assert abs(got_acc.mean() - ref_acc.mean()) / ref_acc.mean() < 0.01
+
+
+@pytest.mark.parametrize("n_devices", [4])
+def test_sharded_restir_gi_matches_single_chip(n_devices):
+    import jax
+    import jax.numpy as jnp
+
+    from fypraytracer_tpu.core.camera import generate_rays
+    from fypraytracer_tpu.ops.dense import pick_tracer
+    from fypraytracer_tpu.parallel.restir_shard import make_restir_gi_sharded
+    from fypraytracer_tpu.parallel.shard import make_pixel_mesh, replicate_scene
+    from fypraytracer_tpu.render import restir_gi
+
+    width = height = 64
+    builder, cam = cornell_box(width=width, height=height, with_spheres=False)
+    scene = builder.compile()
+    settings = RenderSettings(technique=SamplingTechnique.RESTIR_GI,
+                              bounces=2, spatial_neighbors=3,
+                              spatial_radius=height // n_devices - 1)
+
+    dscene = scene.device_put()
+    ip = jnp.asarray(cam.inv_projection)
+    iv = jnp.asarray(cam.inv_view)
+    ppv = jnp.asarray(cam.prev_proj_view)
+
+    @jax.jit
+    def ref_step(frame, state):
+        pix = jnp.arange(width * height, dtype=jnp.int32)
+        o, d = generate_rays(ip, iv, width, height, xp=jnp,
+                             pixel_x=pix % width, pixel_y=pix // width)
+        trace = pick_tracer(dscene, settings.tracer)
+        return restir_gi.render_restir_gi(dscene, trace, o, d,
+                                          pix.astype(jnp.uint32), frame,
+                                          settings, state, width, height, ppv)
+
+    st = jax.tree_util.tree_map(jnp.asarray,
+                                restir_gi.init_state(width * height))
+    ref_acc = np.zeros((width * height, 3), np.float32)
+    for f in (1, 2):
+        hdr, st = ref_step(jnp.uint32(f), st)
+        ref_acc += np.asarray(hdr)
+
+    mesh = make_pixel_mesh(jax.devices()[:n_devices])
+    scene_r = replicate_scene(scene, mesh)
+    step, init_state = make_restir_gi_sharded(scene_r, mesh, width, height,
+                                              settings)
+    state = init_state()
+    got_acc = np.zeros((width * height, 3), np.float32)
+    for f in (1, 2):
+        hdr, state = step(ip, iv, ppv, jnp.uint32(f), state)
+        got_acc += np.asarray(hdr)
+
+    diff = np.abs(got_acc - ref_acc)
+    assert float(np.median(diff)) < 1e-6
+    assert (diff.max(axis=-1) > 1e-3).mean() < 0.03, diff.max()
+    assert abs(got_acc.mean() - ref_acc.mean()) / max(ref_acc.mean(), 1e-9) < 0.02
