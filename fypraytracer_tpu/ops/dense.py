@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from fypraytracer_tpu.ops.intersect import DET_EPSILON, T_EPSILON
+from fypraytracer_tpu.ops.intersect import T_EPSILON
 from fypraytracer_tpu.scene.types import Geometry
 
 _BIG = jnp.float32(3.0e38)

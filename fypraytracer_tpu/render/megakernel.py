@@ -28,8 +28,6 @@ ReSTIR, and big scenes.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -20,7 +20,6 @@ import numpy as np
 
 from fypraytracer_tpu.accel import bvh as bvh_mod
 from fypraytracer_tpu.scene.types import (
-    FlatBVH,
     Geometry,
     LightTreeArrays,
     MaterialTable,

@@ -12,8 +12,6 @@ frame-index reset, WalnutApp.cpp:638-643).
 
 from __future__ import annotations
 
-import numpy as np
-
 from fypraytracer_tpu.scene.build import SceneBuilder
 from fypraytracer_tpu.scene.types import Scene
 
