@@ -80,7 +80,8 @@ _S_RW = 18     # W
 _S_RPDF = 19   # p̂ of selected
 _S_RWSUM = 20
 _S_RM = 21     # M (f32)
-_S_COLS = 24
+# padded to a full lane tile: HBM<->VMEM DMA slices need 128-aligned lanes
+_S_COLS = 128
 
 # persistent state (K2 -> next K1) columns
 _ST_RIDX = 0
@@ -276,7 +277,7 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
 
     # ------------------------------------------------------------------ K2
     def k2(cam_ref, frame_ref, offs_ref, wn_ref, wu_ref, wv_ref, em_ref,
-           stage_full_ref, hdr_ref, state_ref, onehot_ref):
+           stage_full_ref, hdr_ref, state_ref, onehot_ref, stage_vmem, dma_sem):
         tile = pl.program_id(0)
         cam = cam_ref[:]
         lane = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
@@ -285,7 +286,17 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
         py_i = pix // width
         trace = _make_trace(wn_ref, wu_ref, wv_ref, onehot_ref, C, n_tri_tiles)
 
-        own = stage_full_ref[pl.ds(tile * C, C), :]
+        def read_stage(start):
+            """DMA a (C, _S_COLS) window of the HBM stage buffer to VMEM
+            (the full buffer tile-pads to 128 lanes — far too big for a
+            resident VMEM copy)."""
+            dma = pltpu.make_async_copy(
+                stage_full_ref.at[pl.ds(start, C), :], stage_vmem, dma_sem)
+            dma.start()
+            dma.wait()
+            return stage_vmem[:]
+
+        own = read_stage(tile * C)
         pos = (own[:, _S_POS:_S_POS + 1], own[:, _S_POS + 1:_S_POS + 2],
                own[:, _S_POS + 2:_S_POS + 3])
         nx = own[:, _S_NRM:_S_NRM + 1]
@@ -335,7 +346,7 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
                 d_y = offs_ref[nidx, 1]
                 off = d_y * width + d_x
                 start = jnp.clip(tile * C + off, 0, B - C)
-                nb = stage_full_ref[pl.ds(start, C), :]
+                nb = read_stage(start)
 
                 # in-image validity of the un-clamped neighbor coordinates
                 ox_i = px_i + d_x
@@ -463,12 +474,14 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
                 pl.BlockSpec((4, T), full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((4, T), full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((e_pad, _E_COLS), full, memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # full stage buffer
+                pl.BlockSpec(memory_space=pltpu.ANY),  # stage stays in HBM
             ],
             out_specs=[blocked(3), blocked(_ST_COLS)],
             out_shape=[jax.ShapeDtypeStruct((B, 3), jnp.float32),
                        jax.ShapeDtypeStruct((B, _ST_COLS), jnp.float32)],
-            scratch_shapes=[pltpu.VMEM((C, T), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((C, T), jnp.float32),
+                            pltpu.VMEM((C, _S_COLS), jnp.float32),
+                            pltpu.SemaphoreType.DMA(())],
             interpret=interpret,
         )(cam, frame_arr, offs, wn, wu, wv, EM, stage)
 
