@@ -1,0 +1,56 @@
+"""Compile-probe megakernel variants on the real TPU to isolate VMEM
+scoped-stack pressure.  Usage: python probe_mk.py <sampler> <R> [frames]"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    sampler = sys.argv[1] if len(sys.argv) > 1 else "cosine"
+    R = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    frames = int(sys.argv[3]) if len(sys.argv) > 3 else R
+
+    from fypraytracer_tpu.config import RenderSettings, SamplingTechnique
+    from fypraytracer_tpu.render.megakernel import (MegakernelRenderer,
+                                                    make_megakernel,
+                                                    prepare_scene_tables,
+                                                    prepare_light_table)
+    from fypraytracer_tpu.scene.procedural import cornell_box
+
+    builder, cam = cornell_box(width=256, height=256)
+    scene = builder.compile()
+    dscene = jax.tree_util.tree_map(jnp.asarray, scene)
+    P, AT = prepare_scene_tables(dscene)
+    L, depth = prepare_light_table(dscene)
+
+    render = make_megakernel(256, 256, bounces=2, samples=1,
+                             sky_color=(0.05, 0.06, 0.08), n_frames=frames,
+                             n_tris=scene.geometry.tri_v.shape[0],
+                             sampler=sampler, n_light_nodes=L.shape[1],
+                             light_depth=depth, frame_group=R)
+    cam_mats = jnp.concatenate([jnp.asarray(cam.inv_projection),
+                                jnp.asarray(cam.inv_view)], axis=0)
+    frame0 = jnp.asarray([[1]], jnp.int32)
+    t0 = time.perf_counter()
+    out = render(cam_mats, P, AT, frame0, L=L)
+    v = float(jax.jit(lambda x: x.ravel()[0])(out))
+    t1 = time.perf_counter()
+    print(f"COMPILE+RUN OK sampler={sampler} R={R} frames={frames} "
+          f"first={v:.4f} wall={t1 - t0:.1f}s", flush=True)
+    # steady-state timing
+    t0 = time.perf_counter()
+    out = render(cam_mats, P, AT, frame0, L=L)
+    float(jax.jit(lambda x: x.ravel()[0])(out))
+    dt = time.perf_counter() - t0 - 0.4
+    print(f"steady: {dt*1000:.1f} ms total, {dt*1000/frames:.2f} ms/frame",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -5,25 +5,41 @@ Motivation: on TPU (and especially through remote runtimes) a frame built
 from hundreds of XLA ops pays per-op dispatch/HBM-materialization costs
 that dwarf the actual FLOPs.  This kernel fuses the ENTIRE frame loop —
 ray generation, dense Baldwin–Weber intersection, hit-attribute lookup,
-cosine-weighted scattering, emission accumulation, and multi-frame
-accumulation — into ONE ``pallas_call`` whose working set lives in VMEM.
+sampling, emission accumulation, and multi-frame accumulation — into ONE
+``pallas_call`` whose working set lives in VMEM.
 
-Design notes (the TPU-native answers to the reference's megakernel,
-Renderer.cu:565-701):
-  * table lookups (materials, vertex normals) are **one-hot matmuls**:
-    the closest-hit mask (C, T) multiplies a per-triangle attribute table
-    (T, K) on the MXU — no per-lane gathers, which Mosaic lowers poorly;
+Layout (v2, the TPU-native answer to the reference's per-thread megakernel
+Renderer.cu:565-701 — designed around the (8, 128) f32 vreg):
+
+  * **rays-in-lanes** — per-ray scalars are ``(R, 128)`` blocks (ray index
+    in the LANE dimension), so every VPU shading op runs at full lane
+    occupancy.  The previous layout kept per-ray scalars as (C, 1) columns
+    and wasted 127/128 lanes of every op; shading dominated frame time
+    (PERF.md).
+  * **frames-in-sublanes** — the R sublane rows of each block hold R
+    consecutive FRAMES of the same 128 pixels.  RNG keys are
+    (pixel, frame)-counter-derived, so rows are independent streams and a
+    whole frame group shades in one set of full (8, 128) vregs.  The frame
+    sum is a sublane reduction.
+  * **trace transposed** — intersection intermediates are
+    (triangle-tile, ray-lane) blocks; the closest hit is an in-loop argmin
+    that yields a per-ray TRIANGLE INDEX.  Attribute fetch is the one-hot
+    matmul ``A_T (K, T) @ onehot (T, 128)`` on the MXU — no per-lane
+    gathers, which Mosaic lowers poorly.
+  * **primary-ray hoisting** — the camera is static within a dispatch, so
+    the primary hit of each pixel is traced ONCE per kernel instance and
+    reused by every frame/sample (the estimator is unchanged: the primary
+    trace is deterministic; the reference retraces it per frame only
+    because each CUDA launch starts cold).
   * the RNG is the framework's counter-based PCG implemented with in-
     kernel uint32 vector ops, bit-identical to core/rng.py, so the
-    megakernel matches the reference wavefront renderer at equal seeds;
-  * per-ray scalars are (C, 1) blocks; the heavy (C, T) intermediates are
-    lane-major and tile-aligned;
-  * the frame loop is a ``fori_loop`` *inside* the kernel: N frames of a
-    pixel tile cost one kernel launch and zero HBM round trips.
+    megakernel matches the wavefront renderer at equal seeds;
+  * the frame-group loop is a ``fori_loop`` *inside* the kernel: N frames
+    of a pixel tile cost one kernel launch and zero HBM round trips.
 
-Supports the hemisphere-sampler family on untextured scenes; the general
-wavefront (render/integrators.py) remains the fallback for textures,
-ReSTIR, and big scenes.
+Supports the hemisphere-sampler family and NEE+MIS (in-kernel light tree)
+on untextured scenes; the general wavefront (render/integrators.py)
+remains the fallback for textures, ReSTIR, and big scenes.
 """
 
 from __future__ import annotations
@@ -36,7 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fypraytracer_tpu.scene.types import Scene
 
-RAY_TILE = 256
+RAY_LANES = 128   # rays per lane block (the f32 vreg lane width)
 TRI_TILE = 512
 
 _BIG = 3.0e38
@@ -72,7 +88,8 @@ def _next_uniform(key):
     return nk, bits.astype(jnp.float32) * _INV_24
 
 
-# attribute table columns
+# attribute table rows (A_T is (K=_A_COLS, T): one row per attribute,
+# triangle id in the lane dimension)
 _A_ALBEDO = 0   # 0:3
 _A_EMISSION = 3  # 3:6
 _A_ROUGH = 6
@@ -82,12 +99,14 @@ _A_N1 = 11      # 11:14
 _A_N2 = 14      # 14:17
 _A_P0 = 17      # 17:20 triangle vertex 0 (world)
 _A_E1 = 20      # 20:23 edge 1
-_A_COLS = 32    # padded
 _A_E2 = 23      # 23:26 edge 2
 _A_AREA = 26
 _A_LEAF = 27    # light-tree leaf id of this triangle (-1 none)
+_A_NS = 28      # 28:31 unnormalized n0+n1+n2 (area-light facet normal)
+_A_COLS = 32    # padded
 
-# light-tree node table columns (SoA of scene/types.py::LightTreeArrays)
+# light-tree node table rows (SoA of scene/types.py::LightTreeArrays;
+# L_T is (_L_COLS, N_nodes))
 _L_BLO = 0      # 0:3
 _L_BHI = 3      # 3:6
 _L_AXIS = 6     # 6:9
@@ -102,9 +121,26 @@ _L_TRI = 16
 _L_PARENT = 17
 _L_COLS = 24    # padded
 
+_IMP_ROWS = list(range(_L_BLO, _L_BLO + 3)) + list(range(_L_BHI, _L_BHI + 3)) \
+    + list(range(_L_AXIS, _L_AXIS + 3)) \
+    + [_L_COS_O, _L_SIN_O, _L_COS_E, _L_SIN_E, _L_ENERGY]
 
-def prepare_scene_tables(scene: Scene):
-    """Flatten the scene into the megakernel's dense tables (host/jit)."""
+_SURF_ROWS = list(range(_A_ALBEDO, _A_ALBEDO + 3)) \
+    + list(range(_A_EMISSION, _A_EMISSION + 3)) + [_A_ROUGH, _A_METAL] \
+    + list(range(_A_N0, _A_N0 + 9)) + [_A_AREA, _A_LEAF]
+
+_LIGHT_ROWS = list(range(_A_P0, _A_P0 + 3)) + list(range(_A_E1, _A_E1 + 3)) \
+    + list(range(_A_E2, _A_E2 + 3)) + list(range(_A_NS, _A_NS + 3)) \
+    + list(range(_A_EMISSION, _A_EMISSION + 3)) + [_A_AREA]
+
+
+def build_attr_matrix(scene: Scene, tri_tile: int = TRI_TILE):
+    """Baldwin–Weber plane coefficients + dense attribute table.
+
+    Returns ``(wn, wu, wv, A)`` with wn/wu/wv of shape (T, 4) (rows =
+    triangles, columns = plane coefficients) and A of shape (T, _A_COLS),
+    T padded to ``tri_tile``.  Semantics of the per-triangle data follow
+    the reference scene SoA (Scene.h:27-37, Triangle.cuh:36-51)."""
     g = scene.geometry
     tv = g.tri_v
     p0 = g.positions[tv[:, 0]]
@@ -118,46 +154,63 @@ def prepare_scene_tables(scene: Scene):
     inv_denom = 1.0 / jnp.where(valid, denom, 1.0)
     u3 = jnp.cross(e2, n) * inv_denom[:, None]
     v3 = jnp.cross(n, e1) * inv_denom[:, None]
-    wn = jnp.concatenate([n, -(n * p0).sum(-1, keepdims=True)], axis=-1).T
-    wu = jnp.concatenate([u3, -(u3 * p0).sum(-1, keepdims=True)], axis=-1).T
-    wv = jnp.concatenate([v3, -(v3 * p0).sum(-1, keepdims=True)], axis=-1).T
+    wn = jnp.concatenate([n, -(n * p0).sum(-1, keepdims=True)], axis=-1)
+    wu = jnp.concatenate([u3, -(u3 * p0).sum(-1, keepdims=True)], axis=-1)
+    wv = jnp.concatenate([v3, -(v3 * p0).sum(-1, keepdims=True)], axis=-1)
 
     m = scene.materials
     mat = g.tri_mat
     T = tv.shape[0]
     area = 0.5 * jnp.sqrt(jnp.maximum((n * n).sum(-1), 0.0))
     lt = scene.light_tree
+    n0 = g.normals[tv[:, 0]]
+    n1 = g.normals[tv[:, 1]]
+    n2 = g.normals[tv[:, 2]]
     A = jnp.zeros((T, _A_COLS), jnp.float32)
     A = A.at[:, _A_ALBEDO:_A_ALBEDO + 3].set(m.albedo[mat])
     A = A.at[:, _A_EMISSION:_A_EMISSION + 3].set(
         m.emission_color[mat] * m.emission_power[mat][:, None])
     A = A.at[:, _A_ROUGH].set(m.roughness[mat])
     A = A.at[:, _A_METAL].set(m.metallic[mat])
-    A = A.at[:, _A_N0:_A_N0 + 3].set(g.normals[tv[:, 0]])
-    A = A.at[:, _A_N1:_A_N1 + 3].set(g.normals[tv[:, 1]])
-    A = A.at[:, _A_N2:_A_N2 + 3].set(g.normals[tv[:, 2]])
+    A = A.at[:, _A_N0:_A_N0 + 3].set(n0)
+    A = A.at[:, _A_N1:_A_N1 + 3].set(n1)
+    A = A.at[:, _A_N2:_A_N2 + 3].set(n2)
     A = A.at[:, _A_P0:_A_P0 + 3].set(p0)
     A = A.at[:, _A_E1:_A_E1 + 3].set(e1)
     A = A.at[:, _A_E2:_A_E2 + 3].set(e2)
     A = A.at[:, _A_AREA].set(area)
     A = A.at[:, _A_LEAF].set(lt.leaf_of_tri.astype(jnp.float32))
+    A = A.at[:, _A_NS:_A_NS + 3].set(n0 + n1 + n2)
 
-    pad_t = (-T) % TRI_TILE
+    pad_t = (-T) % tri_tile
     if pad_t:
-        wn = jnp.pad(wn, ((0, 0), (0, pad_t)))
-        wu = jnp.pad(wu, ((0, 0), (0, pad_t)))
-        wv = jnp.pad(wv, ((0, 0), (0, pad_t)))
+        wn = jnp.pad(wn, ((0, pad_t), (0, 0)))
+        wu = jnp.pad(wu, ((0, pad_t), (0, 0)))
+        wv = jnp.pad(wv, ((0, pad_t), (0, 0)))
         A = jnp.pad(A, ((0, pad_t), (0, 0)), constant_values=0.0)
         A = A.at[T:, _A_LEAF].set(-1.0)
     return wn, wu, wv, A
 
 
+def prepare_scene_tables(scene: Scene):
+    """Flatten the scene into the megakernel's tables (host/jit).
+
+    Returns ``(P, A_T)``: P (T, 16) plane coefficients
+    [wn(4) | wu(4) | wv(4) | pad], A_T (_A_COLS, T) transposed attribute
+    table for ``A_T @ onehot`` lane-layout lookups."""
+    wn, wu, wv, A = build_attr_matrix(scene, TRI_TILE)
+    T = A.shape[0]
+    P = jnp.concatenate([wn, wu, wv, jnp.zeros((T, 4), jnp.float32)], axis=1)
+    return P, A.T
+
+
 def prepare_light_table(scene: Scene, n_pad: int = 128):
-    """Light-tree nodes as one dense (N, _L_COLS) table for one-hot
-    lookups (cos/sin of the cone angles precomputed)."""
+    """Light-tree nodes as one dense (_L_COLS, N) table (node id in the
+    lane dim) for one-hot lookups; cos/sin of cone angles precomputed."""
     lt = scene.light_tree
     n = lt.energy.shape[0]
-    L = jnp.zeros((max(n_pad, n), _L_COLS), jnp.float32)
+    NP = max(((max(n, 1) + n_pad - 1) // n_pad) * n_pad, n_pad)
+    L = jnp.zeros((NP, _L_COLS), jnp.float32)
     L = L.at[:n, _L_BLO:_L_BLO + 3].set(lt.box_lo)
     L = L.at[:n, _L_BHI:_L_BHI + 3].set(lt.box_hi)
     L = L.at[:n, _L_AXIS:_L_AXIS + 3].set(lt.axis)
@@ -170,17 +223,22 @@ def prepare_light_table(scene: Scene, n_pad: int = 128):
     L = L.at[:n, _L_RIGHT].set(lt.right.astype(jnp.float32))
     L = L.at[:n, _L_TRI].set(lt.tri.astype(jnp.float32))
     L = L.at[:n, _L_PARENT].set(lt.parent.astype(jnp.float32))
-    if n < n_pad:
+    if n < NP:
         L = L.at[n:, _L_LEFT].set(-1.0)
         L = L.at[n:, _L_RIGHT].set(-1.0)
         L = L.at[n:, _L_TRI].set(-1.0)
         L = L.at[n:, _L_PARENT].set(-1.0)
-    return L, lt.max_depth
+    return L.T, lt.max_depth
 
 
 # ---------------------------------------------------------------------------
-# Component-wise math helpers ((C, 1) lanes; mirror core/mathutils.py)
+# Component-wise math helpers (shape-generic over (R, C) lane blocks;
+# mirror core/mathutils.py)
 # ---------------------------------------------------------------------------
+
+
+def _stack(parts):
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
 def _norm3(x, y, z):
@@ -244,7 +302,7 @@ def _ggx_sample(u1, u2, nx, ny, nz, vx, vy, vz, rough):
     pdf = d * ndh / jnp.maximum(4.0 * vdh, 1e-20)
     valid = (ndl > 0.0) & (vdh > 0.0) & (ndh > 0.0)
     pdf = jnp.where(valid, pdf, 0.0)
-    z = jnp.zeros_like(lx)
+    z = jnp.zeros_like(pdf)
     return (jnp.where(valid, lx, z), jnp.where(valid, ly, z),
             jnp.where(valid, lz, z), pdf)
 
@@ -262,12 +320,13 @@ def _ggx_pdf(nx, ny, nz, vx, vy, vz, lx, ly, lz, rough):
 
 
 def _spec_weight(nx, ny, nz, vx, vy, vz, alb, metal):
-    """Mean-Fresnel lobe weight (MathUtils.cuh:201-218)."""
+    """Mean-Fresnel lobe weight (MathUtils.cuh:201-218); ``alb`` is a
+    3-tuple of per-channel lane blocks."""
     ndv = jnp.maximum(nx * vx + ny * vy + nz * vz, 0.0)
     s = (1.0 - ndv) ** 5
     w = 0.0
     for c in range(3):
-        f0 = 0.04 * (1.0 - metal) + alb[:, c:c + 1] * metal
+        f0 = 0.04 * (1.0 - metal) + alb[c] * metal
         w = w + (f0 + (1.0 - f0) * s)
     w = w * (1.0 / 3.0)
     return jnp.where(metal >= 1.0, 1.0, jnp.where(metal <= 0.0, 0.0, w))
@@ -297,155 +356,8 @@ def _mixture_pdf(nx, ny, nz, vx, vy, vz, lx, ly, lz, alb, rough, metal):
     return w_spec * pdf_spec + (1.0 - w_spec) * cos_t * (1.0 / _PI)
 
 
-def _node_importance(nd, px, py, pz):
-    """ComputeClusterImportance in cosine space (ops/lighttree.py) on a
-    (C, _L_COLS) node-attribute block."""
-    blo = [nd[:, _L_BLO + c:_L_BLO + c + 1] for c in range(3)]
-    bhi = [nd[:, _L_BHI + c:_L_BHI + c + 1] for c in range(3)]
-    cx = [(blo[c] + bhi[c]) * 0.5 for c in range(3)]
-    axx, axy, axz = _norm3(cx[0] - px, cx[1] - py, cx[2] - pz)
-
-    min_cos = None
-    for i in range(8):
-        corner = [blo[c] if (i >> c) & 1 == 0 else bhi[c] for c in range(3)]
-        dx, dy, dz = _norm3(corner[0] - px, corner[1] - py, corner[2] - pz)
-        cc = jnp.clip(axx * dx + axy * dy + axz * dz, -1.0, 1.0)
-        min_cos = cc if min_cos is None else jnp.minimum(min_cos, cc)
-    cos_u = min_cos
-    sin_u = jnp.sqrt(jnp.maximum(1.0 - cos_u * cos_u, 0.0))
-
-    dx, dy, dz = px - cx[0], py - cx[1], pz - cx[2]
-    dist2 = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-12)
-    dx, dy, dz = _norm3(dx, dy, dz)
-    ax_n = nd[:, _L_AXIS:_L_AXIS + 1]
-    ay_n = nd[:, _L_AXIS + 1:_L_AXIS + 2]
-    az_n = nd[:, _L_AXIS + 2:_L_AXIS + 3]
-    cos_t = jnp.clip(ax_n * dx + ay_n * dy + az_n * dz, -1.0, 1.0)
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-
-    cos_o = nd[:, _L_COS_O:_L_COS_O + 1]
-    sin_o = nd[:, _L_SIN_O:_L_SIN_O + 1]
-    cos_e = nd[:, _L_COS_E:_L_COS_E + 1]
-    sin_e = nd[:, _L_SIN_E:_L_SIN_E + 1]
-
-    cos_a = cos_o * cos_u - sin_o * sin_u
-    sin_a = sin_o * cos_u + cos_o * sin_u
-    cos_diff = cos_t * cos_a + sin_t * jnp.abs(sin_a)
-    a_gt_pi = sin_a < 0.0
-    clamp_low = a_gt_pi | (cos_t >= cos_a)
-    b_ge_pi = a_gt_pi | (cos_e <= -cos_a)
-    cos_b = cos_a * cos_e - sin_a * sin_e
-    clamp_high = (~b_ge_pi) & (cos_t <= cos_b)
-    val = jnp.where(clamp_low, 1.0, jnp.where(clamp_high, cos_e, cos_diff))
-    return nd[:, _L_ENERGY:_L_ENERGY + 1] * val / dist2
-
-
-def _make_raygen(cam, width, height, C):
-    """Per-tile camera ray components from the (8,4) matrix block."""
-    ip = cam[0:4]
-    iv = cam[4:8]
-
-    def raygen(pix):
-        pxf = (pix % width).astype(jnp.float32)
-        pyf = (pix // width).astype(jnp.float32)
-        ndc_x = (pxf / width) * 2.0 - 1.0
-        ndc_y = 1.0 - (pyf / height) * 2.0
-        tx = ip[0, 0] * ndc_x + ip[0, 1] * ndc_y + ip[0, 2] + ip[0, 3]
-        ty = ip[1, 0] * ndc_x + ip[1, 1] * ndc_y + ip[1, 2] + ip[1, 3]
-        tz = ip[2, 0] * ndc_x + ip[2, 1] * ndc_y + ip[2, 2] + ip[2, 3]
-        tw = ip[3, 0] * ndc_x + ip[3, 1] * ndc_y + ip[3, 2] + ip[3, 3]
-        tx, ty, tz = _norm3(tx / tw, ty / tw, tz / tw)
-        dx = iv[0, 0] * tx + iv[0, 1] * ty + iv[0, 2] * tz
-        dy = iv[1, 0] * tx + iv[1, 1] * ty + iv[1, 2] * tz
-        dz = iv[2, 0] * tx + iv[2, 1] * ty + iv[2, 2] * tz
-        ox = jnp.zeros_like(dx) + iv[0, 3]
-        oy = jnp.zeros_like(dx) + iv[1, 3]
-        oz = jnp.zeros_like(dx) + iv[2, 3]
-        return ox, oy, oz, dx, dy, dz
-
-    return raygen
-
-
-def _make_trace(wn_ref, wu_ref, wv_ref, onehot_ref, C, n_tri_tiles):
-    """Dense closest-hit over triangle tiles; fills onehot_ref (C, T) with
-    the winner row; returns (t, hitmask, u, v), all (C, 1)."""
-
-    def trace(ox, oy, oz, dx, dy, dz):
-        t_best = jnp.full((C, 1), _BIG, jnp.float32)
-        u_best = jnp.zeros((C, 1), jnp.float32)
-        v_best = jnp.zeros((C, 1), jnp.float32)
-        t_tiles = []
-        for k in range(n_tri_tiles):
-            sl = slice(k * TRI_TILE, (k + 1) * TRI_TILE)
-            wn = wn_ref[:, sl]
-            wu = wu_ref[:, sl]
-            wv = wv_ref[:, sl]
-            o_n = ox * wn[0:1] + oy * wn[1:2] + oz * wn[2:3] + wn[3:4]
-            d_n = dx * wn[0:1] + dy * wn[1:2] + dz * wn[2:3]
-            o_u = ox * wu[0:1] + oy * wu[1:2] + oz * wu[2:3] + wu[3:4]
-            d_u = dx * wu[0:1] + dy * wu[1:2] + dz * wu[2:3]
-            o_v = ox * wv[0:1] + oy * wv[1:2] + oz * wv[2:3] + wv[3:4]
-            d_v = dx * wv[0:1] + dy * wv[1:2] + dz * wv[2:3]
-
-            okp = jnp.abs(d_n) > 1e-12
-            t = -o_n / jnp.where(okp, d_n, 1.0)
-            uu = o_u + t * d_u
-            vv = o_v + t * d_v
-            hit = okp & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) \
-                & (t > 1e-4)
-            t = jnp.where(hit, t, _BIG)
-            t_tiles.append((t, uu, vv))
-            t_best = jnp.minimum(t_best, jnp.min(t, axis=1, keepdims=True))
-
-        found_before = jnp.zeros((C, 1), jnp.bool_)
-        for k in range(n_tri_tiles):
-            t, uu, vv = t_tiles[k]
-            is_min = (t == t_best) & (t_best < _BIG)
-            col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            kk = jnp.min(jnp.where(is_min, col, 2 ** 30), axis=1,
-                         keepdims=True)
-            first = is_min & (col == kk) & ~found_before
-            onehot_ref[:, k * TRI_TILE:(k + 1) * TRI_TILE] = \
-                first.astype(jnp.float32)
-            any_first = jnp.any(first, axis=1, keepdims=True)
-            u_best = jnp.where(any_first,
-                               jnp.sum(jnp.where(first, uu, 0.0), axis=1,
-                                       keepdims=True), u_best)
-            v_best = jnp.where(any_first,
-                               jnp.sum(jnp.where(first, vv, 0.0), axis=1,
-                                       keepdims=True), v_best)
-            found_before = found_before | any_first
-
-        return t_best, t_best < _BIG, u_best, v_best
-
-    return trace
-
-
-def _make_lookup(onehot_ref, a_ref):
-    """One-hot matmul attribute lookup; returns (attrs, nx, ny, nz)."""
-
-    def lookup(u, v):
-        attrs = jnp.dot(onehot_ref[:], a_ref[:],
-                        preferred_element_type=jnp.float32)
-        w = 1.0 - u - v
-        nx = (w * attrs[:, _A_N0:_A_N0 + 1] + u * attrs[:, _A_N1:_A_N1 + 1]
-              + v * attrs[:, _A_N2:_A_N2 + 1])
-        ny = (w * attrs[:, _A_N0 + 1:_A_N0 + 2]
-              + u * attrs[:, _A_N1 + 1:_A_N1 + 2]
-              + v * attrs[:, _A_N2 + 1:_A_N2 + 2])
-        nz = (w * attrs[:, _A_N0 + 2:_A_N0 + 3]
-              + u * attrs[:, _A_N1 + 2:_A_N1 + 3]
-              + v * attrs[:, _A_N2 + 2:_A_N2 + 3])
-        return (attrs,) + _norm3(nx, ny, nz)
-
-    return lookup
-
-
-def _cook_torrance_attrs(nx, ny, nz, vx, vy, vz, lx, ly, lz, attrs):
-    """Per-channel Cook-Torrance (MathUtils.cuh:276-317) on (C,1) lanes."""
-    alb = attrs[:, _A_ALBEDO:_A_ALBEDO + 3]
-    rough = attrs[:, _A_ROUGH:_A_ROUGH + 1]
-    metal = attrs[:, _A_METAL:_A_METAL + 1]
+def _cook_torrance(nx, ny, nz, vx, vy, vz, lx, ly, lz, alb, rough, metal):
+    """Per-channel Cook-Torrance (MathUtils.cuh:276-317) on lane blocks."""
     hx, hy, hz = _norm3(vx + lx, vy + ly, vz + lz)
     ndl = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
     ndv = jnp.maximum(nx * vx + ny * vy + nz * vz, 0.0)
@@ -463,50 +375,98 @@ def _cook_torrance_attrs(nx, ny, nz, vx, vy, vz, lx, ly, lz, attrs):
     live = (ndl > 0.0) & (ndv > 0.0)
     out = []
     for c in range(3):
-        f0 = 0.04 * (1.0 - metal) + alb[:, c:c + 1] * metal
+        f0 = 0.04 * (1.0 - metal) + alb[c] * metal
         fr = f0 + (1.0 - f0) * s5
-        diff = (1.0 - fr) * alb[:, c:c + 1] * (1.0 / _PI)
+        diff = (1.0 - fr) * alb[c] * (1.0 / _PI)
         out.append(jnp.where(live, diff + spec_s * fr, 0.0))
     return out
+
+
+def _node_importance(nd, px, py, pz):
+    """ComputeClusterImportance in cosine space (ops/lighttree.py) from a
+    dict of _L_* node-attribute lane rows."""
+    blo = [nd[_L_BLO + c] for c in range(3)]
+    bhi = [nd[_L_BHI + c] for c in range(3)]
+    cx = [(blo[c] + bhi[c]) * 0.5 for c in range(3)]
+    axx, axy, axz = _norm3(cx[0] - px, cx[1] - py, cx[2] - pz)
+
+    min_cos = None
+    for i in range(8):
+        corner = [blo[c] if (i >> c) & 1 == 0 else bhi[c] for c in range(3)]
+        dx, dy, dz = _norm3(corner[0] - px, corner[1] - py, corner[2] - pz)
+        cc = jnp.clip(axx * dx + axy * dy + axz * dz, -1.0, 1.0)
+        min_cos = cc if min_cos is None else jnp.minimum(min_cos, cc)
+    cos_u = min_cos
+    sin_u = jnp.sqrt(jnp.maximum(1.0 - cos_u * cos_u, 0.0))
+
+    dx, dy, dz = px - cx[0], py - cx[1], pz - cx[2]
+    dist2 = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-12)
+    dx, dy, dz = _norm3(dx, dy, dz)
+    cos_t = jnp.clip(nd[_L_AXIS] * dx + nd[_L_AXIS + 1] * dy
+                     + nd[_L_AXIS + 2] * dz, -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+
+    cos_o = nd[_L_COS_O]
+    sin_o = nd[_L_SIN_O]
+    cos_e = nd[_L_COS_E]
+    sin_e = nd[_L_SIN_E]
+
+    cos_a = cos_o * cos_u - sin_o * sin_u
+    sin_a = sin_o * cos_u + cos_o * sin_u
+    cos_diff = cos_t * cos_a + sin_t * jnp.abs(sin_a)
+    a_gt_pi = sin_a < 0.0
+    clamp_low = a_gt_pi | (cos_t >= cos_a)
+    b_ge_pi = a_gt_pi | (cos_e <= -cos_a)
+    cos_b = cos_a * cos_e - sin_a * sin_e
+    clamp_high = (~b_ge_pi) & (cos_t <= cos_b)
+    val = jnp.where(clamp_low, 1.0, jnp.where(clamp_high, cos_e, cos_diff))
+    return nd[_L_ENERGY] * val / dist2
 
 
 def make_megakernel(width: int, height: int, bounces: int, samples: int,
                     sky_color, n_frames: int, n_tris: int,
                     sampler: str = "cosine", n_light_nodes: int = 0,
-                    light_depth: int = 1, interpret: bool = False):
+                    light_depth: int = 1, frame_group: int = 1,
+                    interpret: bool = False):
     """Build the jitted megakernel renderer for a fixed configuration.
 
     ``sampler``: 'uniform' | 'cosine' | 'ggx' | 'brdf' (hemisphere family,
     Renderer.cu:565-1284) or 'nee' (NEE+MIS with in-kernel light tree,
     Renderer.cu:1411-1626).  For 'nee', ``n_light_nodes``/``light_depth``
-    size the node table and the static descent depth.
+    size the node table and the static descent depth.  ``frame_group`` =
+    frames per sublane block R (must divide ``n_frames``; 8 = full vreg).
 
-    Returns ``render(cam_mats, wn, wu, wv, A[, L], frame0) -> (B, 3)``:
+    Returns ``render(cam_mats, P, AT, frame0[, L]) -> (B, 3)``:
     HDR summed over ``n_frames``; cam_mats = stack([inv_proj, inv_view]).
     """
     B = width * height
-    assert B % RAY_TILE == 0, "pixel count must divide RAY_TILE"
+    C = RAY_LANES
+    R = frame_group
+    assert B % C == 0, "pixel count must divide RAY_LANES"
+    assert n_frames % R == 0, "frame_group must divide n_frames"
     T = n_tris + ((-n_tris) % TRI_TILE)
     n_tri_tiles = T // TRI_TILE
-    C = RAY_TILE
     sky = tuple(float(c) for c in sky_color)
     nee = sampler == "nee"
     NL = max(((n_light_nodes + 127) // 128) * 128, 128)
 
+    RS = 8           # scratch row geometry (one full sublane tile), ≥ R
+    NR_MAX = 19      # widest attribute-row fetch (len(_SURF_ROWS))
+
     def kernel(*refs):
         if nee:
-            (cam_ref, frame_ref, wn_ref, wu_ref, wv_ref, a_ref, l_ref,
-             out_ref, onehot_ref) = refs
+            (cam_ref, frame_ref, p_ref, a_ref, l_ref, out_ref,
+             rayin, trout, trouti, lkin, bank) = refs
         else:
-            (cam_ref, frame_ref, wn_ref, wu_ref, wv_ref, a_ref,
-             out_ref, onehot_ref) = refs
+            (cam_ref, frame_ref, p_ref, a_ref, out_ref,
+             rayin, trout, trouti, lkin, bank) = refs
         tile = pl.program_id(0)
         cam = cam_ref[:]                   # (8, 4): inv_proj rows, inv_view rows
         ip = cam[0:4]
         iv = cam[4:8]
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
-        pix = tile * C + lane              # (C,1) int32
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+        pix = tile * C + lane              # (1, C) int32
         pxf = (pix % width).astype(jnp.float32)
         pyf = (pix // width).astype(jnp.float32)
 
@@ -525,24 +485,49 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         oy0 = jnp.zeros_like(dx0) + iv[1, 3]
         oz0 = jnp.zeros_like(dx0) + iv[2, 3]
 
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (TRI_TILE, C), 0)
+
+        def _rot(block):
+            return jnp.concatenate([block[1:], block[0:1]], axis=0)
+
         def trace(ox, oy, oz, dx, dy, dz):
-            """Dense closest-hit; fills onehot_ref (C, T) with the winner
-            row; returns (t, hitmask, u, v), all (C, 1)."""
-            t_best = jnp.full((C, 1), _BIG, jnp.float32)
-            u_best = jnp.zeros((C, 1), jnp.float32)
-            v_best = jnp.zeros((C, 1), jnp.float32)
-            t_tiles = []
-            for k in range(n_tri_tiles):
-                sl = slice(k * TRI_TILE, (k + 1) * TRI_TILE)
-                wn = wn_ref[:, sl]
-                wu = wu_ref[:, sl]
-                wv = wv_ref[:, sl]
-                o_n = ox * wn[0:1] + oy * wn[1:2] + oz * wn[2:3] + wn[3:4]
-                d_n = dx * wn[0:1] + dy * wn[1:2] + dz * wn[2:3]
-                o_u = ox * wu[0:1] + oy * wu[1:2] + oz * wu[2:3] + wu[3:4]
-                d_u = dx * wu[0:1] + dy * wu[1:2] + dz * wu[2:3]
-                o_v = ox * wv[0:1] + oy * wv[1:2] + oz * wv[2:3] + wv[3:4]
-                d_v = dx * wv[0:1] + dy * wv[1:2] + dz * wv[2:3]
+            """Closest hit for an (R', C) block.  VMEM-frugal: the whole
+            (frame-row × triangle-tile) sweep is ONE ``fori_loop`` body, so
+            the (TRI_TILE, C) intersection intermediates are allocated
+            once — Mosaic's scoped-vmem stack does NOT reuse slots across
+            unrolled trace bodies (measured: 8 unrolled rows demanded
+            80 MB against the ~16 MB budget).  Ray rows rotate through a
+            fixed scratch so all slicing is static; the only dynamic slice
+            is the tile-aligned triangle load.  Returns (t, hit, u, v,
+            tri) as (R', C); tri = -1 on miss; tie-break = lowest triangle
+            id (oracle scan order)."""
+            ox, oy, oz, dx, dy, dz = jnp.broadcast_arrays(ox, oy, oz,
+                                                          dx, dy, dz)
+            rr = ox.shape[0]
+            for ci, val in enumerate((ox, oy, oz, dx, dy, dz)):
+                rayin[ci * RS:ci * RS + rr, :] = val
+
+            def body(i, carry):
+                t_c, u_c, v_c, tri_c = carry
+                k = i % n_tri_tiles
+                fresh = k == 0
+                rox = rayin[0 * RS:0 * RS + 1, :]
+                roy = rayin[1 * RS:1 * RS + 1, :]
+                roz = rayin[2 * RS:2 * RS + 1, :]
+                rdx = rayin[3 * RS:3 * RS + 1, :]
+                rdy = rayin[4 * RS:4 * RS + 1, :]
+                rdz = rayin[5 * RS:5 * RS + 1, :]
+                pt = p_ref[pl.ds(k * TRI_TILE, TRI_TILE), :]     # (TT, 16)
+
+                def pc(j):
+                    return pt[:, j:j + 1]
+
+                o_n = pc(0) * rox + pc(1) * roy + pc(2) * roz + pc(3)
+                d_n = pc(0) * rdx + pc(1) * rdy + pc(2) * rdz
+                o_u = pc(4) * rox + pc(5) * roy + pc(6) * roz + pc(7)
+                d_u = pc(4) * rdx + pc(5) * rdy + pc(6) * rdz
+                o_v = pc(8) * rox + pc(9) * roy + pc(10) * roz + pc(11)
+                d_v = pc(8) * rdx + pc(9) * rdy + pc(10) * rdz
 
                 okp = jnp.abs(d_n) > 1e-12
                 t = -o_n / jnp.where(okp, d_n, 1.0)
@@ -551,81 +536,106 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                 hit = okp & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) \
                     & (t > 1e-4)
                 t = jnp.where(hit, t, _BIG)
-                t_tiles.append((t, uu, vv))
-                t_best = jnp.minimum(t_best, jnp.min(t, axis=1, keepdims=True))
+                t_min = jnp.min(t, axis=0, keepdims=True)        # (1, C)
+                at_min = (t == t_min) & (t_min < _BIG)
+                ridx = jnp.min(jnp.where(at_min, row_iota, 2 ** 30),
+                               axis=0, keepdims=True)
+                first = at_min & (row_iota == ridx)
+                u_k = jnp.sum(jnp.where(first, uu, 0.0), axis=0,
+                              keepdims=True)
+                v_k = jnp.sum(jnp.where(first, vv, 0.0), axis=0,
+                              keepdims=True)
 
-            found_before = jnp.zeros((C, 1), jnp.bool_)
-            for k in range(n_tri_tiles):
-                t, uu, vv = t_tiles[k]
-                is_min = (t == t_best) & (t_best < _BIG)
-                col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-                kk = jnp.min(jnp.where(is_min, col, 2 ** 30), axis=1,
-                             keepdims=True)
-                first = is_min & (col == kk) & ~found_before
-                onehot_ref[:, k * TRI_TILE:(k + 1) * TRI_TILE] = \
-                    first.astype(jnp.float32)
-                any_first = jnp.any(first, axis=1, keepdims=True)
-                u_best = jnp.where(any_first,
-                                   jnp.sum(jnp.where(first, uu, 0.0), axis=1,
-                                           keepdims=True), u_best)
-                v_best = jnp.where(any_first,
-                                   jnp.sum(jnp.where(first, vv, 0.0), axis=1,
-                                           keepdims=True), v_best)
-                found_before = found_before | any_first
+                eff_t = jnp.where(fresh, _BIG, t_c)
+                eff_tri = jnp.where(fresh, -1, tri_c)
+                better = t_min < eff_t
+                t_n = jnp.where(better, t_min, eff_t)
+                u_n = jnp.where(better, u_k, jnp.where(fresh, 0.0, u_c))
+                v_n = jnp.where(better, v_k, jnp.where(fresh, 0.0, v_c))
+                tri_n = jnp.where(better, ridx + k * TRI_TILE, eff_tri)
 
-            return t_best, t_best < _BIG, u_best, v_best
+                @pl.when(k == n_tri_tiles - 1)
+                def _append():
+                    trout[:] = jnp.concatenate(
+                        [trout[1:RS], t_n, trout[RS + 1:2 * RS], u_n,
+                         trout[2 * RS + 1:], v_n], axis=0)
+                    trouti[:] = jnp.concatenate([trouti[1:], tri_n], axis=0)
+                    rayin[:] = jnp.concatenate(
+                        [_rot(rayin[ci * RS:(ci + 1) * RS])
+                         for ci in range(6)], axis=0)
 
-        def lookup_attrs(u, v):
-            """One-hot matmul lookup; returns (attrs, nx, ny, nz)."""
-            attrs = jnp.dot(onehot_ref[:], a_ref[:],
-                            preferred_element_type=jnp.float32)
+                return t_n, u_n, v_n, tri_n
+
+            z1 = jnp.zeros((1, C), jnp.float32)
+            jax.lax.fori_loop(0, rr * n_tri_tiles, body,
+                              (z1, z1, z1, jnp.zeros((1, C), jnp.int32)),
+                              unroll=False)
+            t = trout[RS - rr:RS, :]
+            u = trout[2 * RS - rr:2 * RS, :]
+            v = trout[3 * RS - rr:3 * RS, :]
+            tri = trouti[RS - rr:RS, :]
+            return t, t < _BIG, u, v, tri
+
+        def _bank_append(pieces):
+            """Rotate-append one (1, C) piece per attribute block of the
+            bank scratch.  All concatenation is along dim 0 (sublanes) —
+            lane-axis concat of row slices with differing sublane offsets
+            does not lower in Mosaic."""
+            segs = []
+            for j in range(NR_MAX):
+                segs.append(bank[j * RS + 1:(j + 1) * RS])
+                segs.append(pieces[j] if j < len(pieces)
+                            else bank[j * RS:j * RS + 1])
+            bank[:] = jnp.concatenate(segs, axis=0)
+
+        def _rows_lookup(table_ref, n_entries, tri_idx, rows):
+            """One-hot MXU fetch of table rows for per-lane ids (R', C);
+            returns {row: (R', C)}; id = -1 fetches zeros.  One frame
+            row's one-hot is live at a time (fori body + rotating bank —
+            see trace VMEM note)."""
+            rr = tri_idx.shape[0]
+            lkin[0:rr, :] = tri_idx
+
+            def body(g, _):
+                idxg = lkin[0:1, :]
+                iota_t = jax.lax.broadcasted_iota(jnp.int32, (n_entries, C), 0)
+                oh = (iota_t == idxg).astype(jnp.float32)
+                at = jnp.dot(table_ref[:], oh,
+                             preferred_element_type=jnp.float32)
+                _bank_append([at[r:r + 1, :] for r in rows])
+                lkin[:] = jnp.concatenate([lkin[1:], lkin[0:1]], axis=0)
+                return 0
+
+            jax.lax.fori_loop(0, rr, body, 0, unroll=False)
+            return {r: bank[j * RS + RS - rr:(j + 1) * RS, :]
+                    for j, r in enumerate(rows)}
+
+        def tri_rows(tri_idx, rows):
+            return _rows_lookup(a_ref, T, tri_idx, rows)
+
+        def surf_lookup(tri_idx, u, v):
+            """Hit-surface attributes + interpolated shading normal."""
+            rw = tri_rows(tri_idx, _SURF_ROWS)
             w = 1.0 - u - v
-            nx = (w * attrs[:, _A_N0:_A_N0 + 1] + u * attrs[:, _A_N1:_A_N1 + 1]
-                  + v * attrs[:, _A_N2:_A_N2 + 1])
-            ny = (w * attrs[:, _A_N0 + 1:_A_N0 + 2]
-                  + u * attrs[:, _A_N1 + 1:_A_N1 + 2]
-                  + v * attrs[:, _A_N2 + 1:_A_N2 + 2])
-            nz = (w * attrs[:, _A_N0 + 2:_A_N0 + 3]
-                  + u * attrs[:, _A_N1 + 2:_A_N1 + 3]
-                  + v * attrs[:, _A_N2 + 2:_A_N2 + 3])
-            return (attrs,) + _norm3(nx, ny, nz)
+            nx = w * rw[_A_N0] + u * rw[_A_N1] + v * rw[_A_N2]
+            ny = w * rw[_A_N0 + 1] + u * rw[_A_N1 + 1] + v * rw[_A_N2 + 1]
+            nz = w * rw[_A_N0 + 2] + u * rw[_A_N1 + 2] + v * rw[_A_N2 + 2]
+            nx, ny, nz = _norm3(nx, ny, nz)
+            return dict(
+                alb=(rw[_A_ALBEDO], rw[_A_ALBEDO + 1], rw[_A_ALBEDO + 2]),
+                em=(rw[_A_EMISSION], rw[_A_EMISSION + 1], rw[_A_EMISSION + 2]),
+                rough=rw[_A_ROUGH], metal=rw[_A_METAL], area=rw[_A_AREA],
+                leaf=rw[_A_LEAF].astype(jnp.int32), nx=nx, ny=ny, nz=nz)
 
-        def cook_torrance(nx, ny, nz, vx, vy, vz, lx, ly, lz, attrs):
-            """Per-channel Cook-Torrance (MathUtils.cuh:276-317)."""
-            alb = attrs[:, _A_ALBEDO:_A_ALBEDO + 3]
-            rough = attrs[:, _A_ROUGH:_A_ROUGH + 1]
-            metal = attrs[:, _A_METAL:_A_METAL + 1]
-            hx, hy, hz = _norm3(vx + lx, vy + ly, vz + lz)
-            ndl = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
-            ndv = jnp.maximum(nx * vx + ny * vy + nz * vz, 0.0)
-            ndh = jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0)
-            vdh = jnp.maximum(vx * hx + vy * hy + vz * hz, 0.0)
-            a = rough * rough
-            a2 = a * a
-            k = rough * 0.5
-            g = (ndv / jnp.maximum(ndv * (1.0 - k) + k, 1e-12)) \
-                * (ndl / jnp.maximum(ndl * (1.0 - k) + k, 1e-12))
-            den = ndh * ndh * (a2 - 1.0) + 1.0
-            d = a2 * (1.0 / _PI) / jnp.maximum(den * den, 1e-12)
-            spec_s = d * g / jnp.maximum(4.0 * ndv * ndl, 1e-12)
-            s5 = (1.0 - vdh) ** 5
-            live = (ndl > 0.0) & (ndv > 0.0)
-            out = []
-            for c in range(3):
-                f0 = 0.04 * (1.0 - metal) + alb[:, c:c + 1] * metal
-                fr = f0 + (1.0 - f0) * s5
-                diff = (1.0 - fr) * alb[:, c:c + 1] * (1.0 / _PI)
-                out.append(jnp.where(live, diff + spec_s * fr, 0.0))
-            return out
-
-        def scatter(key, nx, ny, nz, vx, vy, vz, attrs):
+        def scatter(key, surf, vx, vy, vz):
             """Draws + sampler dispatch (render/integrators.py::_scatter)."""
-            rough = attrs[:, _A_ROUGH:_A_ROUGH + 1]
+            nx, ny, nz = surf["nx"], surf["ny"], surf["nz"]
+            rough = surf["rough"]
             if sampler == "uniform":
                 key, u1 = _next_uniform(key)
                 key, u2 = _next_uniform(key)
                 lx, ly, lz = _uniform_dir(u1, u2, nx, ny, nz)
-                pdf = jnp.full_like(u1, 1.0 / (2.0 * _PI))
+                pdf = jnp.full_like(lx, 1.0 / (2.0 * _PI))
             elif sampler == "cosine":
                 key, u1 = _next_uniform(key)
                 key, u2 = _next_uniform(key)
@@ -641,39 +651,41 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                 key, u_sel = _next_uniform(key)
                 key, u1 = _next_uniform(key)
                 key, u2 = _next_uniform(key)
-                alb = attrs[:, _A_ALBEDO:_A_ALBEDO + 3]
-                metal = attrs[:, _A_METAL:_A_METAL + 1]
-                lx, ly, lz, pdf = _mixture_sample(u_sel, u1, u2, nx, ny, nz,
-                                                  vx, vy, vz, alb, rough, metal)
+                lx, ly, lz, pdf = _mixture_sample(
+                    u_sel, u1, u2, nx, ny, nz, vx, vy, vz,
+                    surf["alb"], rough, surf["metal"])
             return key, lx, ly, lz, pdf
 
         # ---- light tree (NEE only) ----------------------------------------
         if nee:
-            iota_n = jax.lax.broadcasted_iota(jnp.int32, (C, NL), 1)
 
-            def node_attrs(idx):
-                onehot = (iota_n == idx).astype(jnp.float32)
-                return jnp.dot(onehot, l_ref[:],
-                               preferred_element_type=jnp.float32)
+            def node_rows(idx, rows):
+                """Light-tree node-attribute fetch; shares the lkin/bank
+                scratches with tri_rows (calls are sequential)."""
+                return _rows_lookup(l_ref, NL, idx, rows)
 
-            def child_probs(par_attrs, px, py, pz):
-                li = jnp.maximum(par_attrs[:, _L_LEFT:_L_LEFT + 1], 0.0).astype(jnp.int32)
-                ri = jnp.maximum(par_attrs[:, _L_RIGHT:_L_RIGHT + 1], 0.0).astype(jnp.int32)
-                i_l = _node_importance(node_attrs(li), px, py, pz)
-                i_r = _node_importance(node_attrs(ri), px, py, pz)
+            def child_probs(li, ri, px, py, pz):
+                i_l = _node_importance(node_rows(li, _IMP_ROWS), px, py, pz)
+                i_r = _node_importance(node_rows(ri, _IMP_ROWS), px, py, pz)
                 s = i_l + i_r
-                p_left = jnp.where(s > 0.0, i_l / jnp.where(s > 0.0, s, 1.0), 0.5)
-                return jnp.clip(p_left, 1e-6, 1.0 - 1e-6), li, ri
+                p_left = jnp.where(s > 0.0, i_l / jnp.where(s > 0.0, s, 1.0),
+                                   0.5)
+                return jnp.clip(p_left, 1e-6, 1.0 - 1e-6)
 
             def pick_light(u, px, py, pz):
                 """ops/lighttree.py::pick_light parity."""
-                idx = jnp.zeros((C, 1), jnp.int32)
-                pmf = jnp.ones((C, 1), jnp.float32)
-                rand = jnp.clip(u, 0.0, 0.9999999)
-                for _ in range(light_depth):
-                    nd = node_attrs(idx)
-                    at_leaf = nd[:, _L_LEFT:_L_LEFT + 1] < 0.0
-                    p_left, li, ri = child_probs(nd, px, py, pz)
+                rr = u.shape[0]
+                idx0 = jnp.zeros((rr, C), jnp.int32)
+                pmf0 = jnp.ones((rr, C), jnp.float32)
+                rand0 = jnp.clip(u, 0.0, 0.9999999)
+
+                def level(_, st):
+                    idx, pmf, rand = st
+                    nd = node_rows(idx, [_L_LEFT, _L_RIGHT])
+                    at_leaf = nd[_L_LEFT] < 0.0
+                    li = jnp.maximum(nd[_L_LEFT], 0.0).astype(jnp.int32)
+                    ri = jnp.maximum(nd[_L_RIGHT], 0.0).astype(jnp.int32)
+                    p_left = child_probs(li, ri, px, py, pz)
                     go_left = rand < p_left
                     new_pmf = pmf * jnp.where(go_left, p_left, 1.0 - p_left)
                     new_rand = jnp.where(go_left, rand / p_left,
@@ -683,89 +695,115 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                     pmf = jnp.where(at_leaf, pmf, new_pmf)
                     rand = jnp.where(at_leaf, rand,
                                      jnp.clip(new_rand, 0.0, 0.9999999))
-                tri_sel = node_attrs(idx)[:, _L_TRI:_L_TRI + 1]
-                return tri_sel.astype(jnp.int32), pmf
+                    return idx, pmf, rand
+
+                idx, pmf, _ = jax.lax.fori_loop(0, light_depth, level,
+                                                (idx0, pmf0, rand0))
+                tri_sel = node_rows(idx, [_L_TRI])[_L_TRI].astype(jnp.int32)
+                return tri_sel, pmf
 
             def emitter_pmf(leaf, px, py, pz):
                 """ops/lighttree.py::emitter_pmf parity (bottom-up replay)."""
                 in_tree = leaf >= 0
-                idx = jnp.maximum(leaf, 0)
-                pmf = jnp.ones((C, 1), jnp.float32)
-                for _ in range(light_depth):
-                    nd = node_attrs(idx)
-                    par = nd[:, _L_PARENT:_L_PARENT + 1]
+                idx0 = jnp.maximum(leaf, 0)
+                pmf0 = jnp.ones_like(px) + jnp.zeros_like(
+                    leaf, jnp.float32)  # (R', C) ones
+
+                def level(_, st):
+                    idx, pmf = st
+                    par = node_rows(idx, [_L_PARENT])[_L_PARENT]
                     valid = par >= 0.0
                     parc = jnp.maximum(par, 0.0).astype(jnp.int32)
-                    pd = node_attrs(parc)
-                    p_left, li, ri = child_probs(pd, px, py, pz)
+                    pr = node_rows(parc, [_L_LEFT, _L_RIGHT])
+                    li = jnp.maximum(pr[_L_LEFT], 0.0).astype(jnp.int32)
+                    ri = jnp.maximum(pr[_L_RIGHT], 0.0).astype(jnp.int32)
+                    p_left = child_probs(li, ri, px, py, pz)
                     went_left = li == idx
                     step = jnp.where(went_left, p_left, 1.0 - p_left)
                     pmf = pmf * jnp.where(valid, step, 1.0)
                     idx = jnp.where(valid, parc, idx)
+                    return idx, pmf
+
+                _, pmf = jax.lax.fori_loop(0, light_depth, level, (idx0, pmf0))
                 return jnp.where(in_tree, pmf, 0.0)
 
-            iota_t = jax.lax.broadcasted_iota(jnp.int32, (C, T), 1)
+        # ---- hoisted primary hit (camera static within a dispatch) --------
+        t0, hit0, u0, v0, tri0 = trace(ox0, oy0, oz0, dx0, dy0, dz0)  # (1, C)
+        prim = surf_lookup(tri0, u0, v0)
+        em0 = prim["em"]
+        prim_emissive = hit0 & ((em0[0] * em0[0] + em0[1] * em0[1]
+                                 + em0[2] * em0[2]) > 0.0)
+        path_lane = hit0 & ~prim_emissive
+        hx0 = ox0 + dx0 * t0
+        hy0 = oy0 + dy0 * t0
+        hz0 = oz0 + dz0 * t0
 
-            def light_tri_attrs(tri_sel):
-                onehot = (iota_t == tri_sel).astype(jnp.float32)
-                return onehot, jnp.dot(onehot, a_ref[:],
-                                       preferred_element_type=jnp.float32)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        frame_base = frame_ref[0, 0]
+        pix_key = _pcg(pix.astype(jnp.uint32))
 
-        # ---- frame bodies --------------------------------------------------
-        def hemisphere_frame(frame):
-            rad = [jnp.zeros((C, 1), jnp.float32) for _ in range(3)]
-            t0, hit0, u0, v0 = trace(ox0, oy0, oz0, dx0, dy0, dz0)
-            attrs0, nx0, ny0, nz0 = lookup_attrs(u0, v0)
-            em0 = attrs0[:, _A_EMISSION:_A_EMISSION + 3]
-            prim_emissive = hit0 & (jnp.sum(em0 * em0, axis=1, keepdims=True) > 0.0)
-            path_lane = hit0 & ~prim_emissive
-            hx0 = ox0 + dx0 * t0
-            hy0 = oy0 + dy0 * t0
-            hz0 = oz0 + dz0 * t0
+        # ---- frame-group bodies (R frames in sublanes) ---------------------
+        # Every repeated region (samples, bounces) is a fori_loop — unrolled
+        # copies multiply the Mosaic scoped-vmem stack (see trace docstring).
+        def hemisphere_group(fi, acc):
+            frames = (frame_base + fi * R + sub).astype(jnp.uint32)  # (R, 1)
+            keyb = _fold(pix_key, frames)                            # (R, C)
 
-            for s in range(samples):
-                key = _pcg(pix.astype(jnp.uint32))
-                key = _fold(key, frame)
-                key = _fold(key, _u32(s))
+            def sample_body(s, rad):
+                key = _fold(keyb, s.astype(jnp.uint32))
                 key = _fold(key, _u32(0))
 
-                active = path_lane
-                thr = [jnp.ones((C, 1), jnp.float32) for _ in range(3)]
+                active = jnp.zeros((R, C), jnp.bool_) | path_lane
+                thr = [jnp.ones((R, C), jnp.float32) for _ in range(3)]
 
-                key, sx, sy, sz, pdf = scatter(key, nx0, ny0, nz0,
-                                               -dx0, -dy0, -dz0, attrs0)
-                cos_t = jnp.maximum(sx * nx0 + sy * ny0 + sz * nz0, 0.0)
+                key, sx, sy, sz, pdf = scatter(key, prim, -dx0, -dy0, -dz0)
+                cos_t = jnp.maximum(sx * prim["nx"] + sy * prim["ny"]
+                                    + sz * prim["nz"], 0.0)
                 ok = pdf > 0.0
-                f = cook_torrance(nx0, ny0, nz0, -dx0, -dy0, -dz0,
-                                  sx, sy, sz, attrs0)
+                f = _cook_torrance(prim["nx"], prim["ny"], prim["nz"],
+                                   -dx0, -dy0, -dz0, sx, sy, sz,
+                                   prim["alb"], prim["rough"], prim["metal"])
                 scale = cos_t / jnp.where(ok, pdf, 1.0)
                 for c in range(3):
                     thr[c] = thr[c] * f[c] * scale
                 active = active & ok
-                cox, coy, coz = hx0, hy0, hz0
+                cox, coy, coz = (jnp.zeros_like(sx) + hx0,
+                                 jnp.zeros_like(sx) + hy0,
+                                 jnp.zeros_like(sx) + hz0)
                 cdx, cdy, cdz = sx, sy, sz
 
-                for _b in range(bounces):
-                    t, hit, uu, vv = trace(cox, coy, coz, cdx, cdy, cdz)
-                    attrs, nx, ny, nz = lookup_attrs(uu, vv)
+                def bounce_body(_b, st):
+                    # the active mask rides the carry as f32 0/1 — i1
+                    # vector loop carries fail Mosaic's scf.for legalization
+                    (key, act_f, thr, rad, cox, coy, coz,
+                     cdx, cdy, cdz) = st
+                    active = act_f > 0.5
+                    rad = list(rad)
+                    thr = list(thr)
+                    t, hit, uu, vv, tri = trace(cox, coy, coz, cdx, cdy, cdz)
+                    surf = surf_lookup(tri, uu, vv)
                     miss = ~hit
                     for c in range(3):
                         rad[c] = rad[c] + jnp.where(active & miss,
                                                     thr[c] * sky[c], 0.0)
                     active = active & hit
-                    em = attrs[:, _A_EMISSION:_A_EMISSION + 3]
-                    em_hit = jnp.sum(em * em, axis=1, keepdims=True) > 0.0
+                    em = surf["em"]
+                    em_hit = (em[0] * em[0] + em[1] * em[1]
+                              + em[2] * em[2]) > 0.0
                     for c in range(3):
                         rad[c] = rad[c] + jnp.where(active & em_hit,
-                                                    thr[c] * em[:, c:c + 1], 0.0)
+                                                    thr[c] * em[c], 0.0)
                     active = active & ~em_hit
 
-                    key, sx, sy, sz, pdf = scatter(key, nx, ny, nz,
-                                                   -cdx, -cdy, -cdz, attrs)
-                    cos_t = jnp.maximum(sx * nx + sy * ny + sz * nz, 0.0)
+                    key, sx, sy, sz, pdf = scatter(key, surf,
+                                                   -cdx, -cdy, -cdz)
+                    cos_t = jnp.maximum(sx * surf["nx"] + sy * surf["ny"]
+                                        + sz * surf["nz"], 0.0)
                     ok = pdf > 0.0
-                    f = cook_torrance(nx, ny, nz, -cdx, -cdy, -cdz,
-                                      sx, sy, sz, attrs)
+                    f = _cook_torrance(surf["nx"], surf["ny"], surf["nz"],
+                                       -cdx, -cdy, -cdz, sx, sy, sz,
+                                       surf["alb"], surf["rough"],
+                                       surf["metal"])
                     scale = cos_t / jnp.where(ok, pdf, 1.0)
                     for c in range(3):
                         thr[c] = thr[c] * f[c] * scale
@@ -773,158 +811,183 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                     cox = cox + cdx * t
                     coy = coy + cdy * t
                     coz = coz + cdz * t
-                    cdx, cdy, cdz = sx, sy, sz
+                    return (key, active.astype(jnp.float32), tuple(thr),
+                            tuple(rad), cox, coy, coz, sx, sy, sz)
 
+                st = jax.lax.fori_loop(
+                    0, bounces, bounce_body,
+                    (key, active.astype(jnp.float32), tuple(thr), tuple(rad),
+                     cox, coy, coz, cdx, cdy, cdz), unroll=False)
+                return st[3]
+
+            rad0 = tuple(jnp.zeros((R, C), jnp.float32) for _ in range(3))
+            rad = jax.lax.fori_loop(0, samples, sample_body, rad0,
+                                    unroll=False)
             inv_s = 1.0 / float(samples)
-            out = []
-            for c in range(3):
-                r = rad[c] * inv_s
-                r = jnp.where(hit0, r, sky[c])
-                r = jnp.where(prim_emissive, em0[:, c:c + 1], r)
-                out.append(r)
-            return out
+            return tuple(acc[c] + jnp.sum(rad[c], axis=0, keepdims=True)
+                         * inv_s for c in range(3))
 
-        def nee_frame(frame):
+        def _nee_direct(key, surf, hx, hy, hz, vx, vy, vz, thr, rad, active,
+                        use_mis):
+            """One NEE direct-light sample + shadow ray (Renderer.cu:
+            1480-1541); returns (key, rad)."""
+            nx, ny, nz = surf["nx"], surf["ny"], surf["nz"]
+            key, u_pick = _next_uniform(key)
+            key, lu1 = _next_uniform(key)
+            key, lu2 = _next_uniform(key)
+            lt_tri, pmf = pick_light(u_pick, hx, hy, hz)
+            lat = tri_rows(lt_tri, _LIGHT_ROWS)
+            su = jnp.sqrt(lu1)
+            b1 = su * (1.0 - lu2)
+            b2 = su * lu2
+            ptx = lat[_A_P0] + lat[_A_E1] * b1 + lat[_A_E2] * b2
+            pty = lat[_A_P0 + 1] + lat[_A_E1 + 1] * b1 + lat[_A_E2 + 1] * b2
+            ptz = lat[_A_P0 + 2] + lat[_A_E1 + 2] * b1 + lat[_A_E2 + 2] * b2
+            lnx, lny, lnz = _norm3(lat[_A_NS], lat[_A_NS + 1],
+                                   lat[_A_NS + 2])
+            tlx, tly, tlz = ptx - hx, pty - hy, ptz - hz
+            dist = jnp.sqrt(jnp.maximum(
+                tlx * tlx + tly * tly + tlz * tlz, 1e-20))
+            ldx, ldy, ldz = tlx / dist, tly / dist, tlz / dist
+
+            _, _, _, _, sh_tri = trace(hx + nx * 1e-12, hy + ny * 1e-12,
+                                       hz + nz * 1e-12, ldx, ldy, ldz)
+            visible = (sh_tri == lt_tri) & (lt_tri >= 0)
+
+            fd = _cook_torrance(nx, ny, nz, vx, vy, vz, ldx, ldy, ldz,
+                                surf["alb"], surf["rough"], surf["metal"])
+            cos_x = jnp.maximum(ldx * nx + ldy * ny + ldz * nz, 0.0)
+            cos_y = jnp.maximum(-(ldx * lnx + ldy * lny + ldz * lnz), 1e-12)
+            area = jnp.maximum(lat[_A_AREA], 1e-20)
+            pdf_direct = pmf * (1.0 / area) * dist * dist / cos_y
+            if use_mis:
+                pdf_brdf_l = _mixture_pdf(nx, ny, nz, vx, vy, vz,
+                                          ldx, ldy, ldz, surf["alb"],
+                                          surf["rough"], surf["metal"])
+                w_direct = pdf_direct / jnp.maximum(
+                    pdf_brdf_l + pdf_direct, 1e-12)
+            else:
+                w_direct = jnp.ones_like(pdf_direct)
+            dscale = w_direct / jnp.maximum(pdf_direct, 1e-20) * cos_x
+            lane_ok = active & visible & (pmf > 0.0)
+            rad = tuple(
+                rad[c] + jnp.where(lane_ok,
+                                   thr[c] * dscale * fd[c]
+                                   * lat[_A_EMISSION + c], 0.0)
+                for c in range(3))
+            return key, rad
+
+        def nee_group(fi, acc):
             """radiance_nee_mis parity (render/integrators.py)."""
-            rad = [jnp.zeros((C, 1), jnp.float32) for _ in range(3)]
-            t0, hit0, u0, v0 = trace(ox0, oy0, oz0, dx0, dy0, dz0)
-            attrs0, nx0, ny0, nz0 = lookup_attrs(u0, v0)
-            em0 = attrs0[:, _A_EMISSION:_A_EMISSION + 3]
-            prim_emissive = hit0 & (jnp.sum(em0 * em0, axis=1, keepdims=True) > 0.0)
-            path_lane = hit0 & ~prim_emissive
-            hx0 = ox0 + dx0 * t0
-            hy0 = oy0 + dy0 * t0
-            hz0 = oz0 + dz0 * t0
+            frames = (frame_base + fi * R + sub).astype(jnp.uint32)
+            keyb = _fold(pix_key, frames)
             single = bounces == 1
+            zR = jnp.zeros((R, C), jnp.float32)
+            prim_b = dict(
+                nx=zR + prim["nx"], ny=zR + prim["ny"], nz=zR + prim["nz"],
+                alb=tuple(zR + prim["alb"][c] for c in range(3)),
+                rough=zR + prim["rough"], metal=zR + prim["metal"])
 
-            for s in range(samples):
-                key = _pcg(pix.astype(jnp.uint32))
-                key = _fold(key, frame)
-                key = _fold(key, _u32(s))
+            def sample_body(s, rad):
+                key = _fold(keyb, s.astype(jnp.uint32))
                 key = _fold(key, _u32(0))
 
-                active = path_lane
-                thr = [jnp.ones((C, 1), jnp.float32) for _ in range(3)]
-                attrs, nx, ny, nz = attrs0, nx0, ny0, nz0
-                hx, hy, hz = hx0, hy0, hz0
-                cdx, cdy, cdz = dx0, dy0, dz0
+                active = jnp.zeros((R, C), jnp.bool_) | path_lane
+                thr = tuple(jnp.ones((R, C), jnp.float32) for _ in range(3))
+                hx, hy, hz = zR + hx0, zR + hy0, zR + hz0
+                cdx, cdy, cdz = zR + dx0, zR + dy0, zR + dz0
 
-                for _b in range(bounces):
+                if single:
+                    key, rad = _nee_direct(key, prim_b, hx, hy, hz,
+                                           -cdx, -cdy, -cdz, thr, rad,
+                                           active, use_mis=False)
+                    return rad
+
+                def bounce_body(_b, st):
+                    # f32 0/1 active mask: see hemisphere bounce_body
+                    (key, act_f, thr, rad, surf, hx, hy, hz,
+                     cdx, cdy, cdz) = st
+                    active = act_f > 0.5
                     vx, vy, vz = -cdx, -cdy, -cdz
-                    # ---- direct light sample -------------------------------
-                    key, u_pick = _next_uniform(key)
-                    key, lu1 = _next_uniform(key)
-                    key, lu2 = _next_uniform(key)
-                    lt_tri, pmf = pick_light(u_pick, hx, hy, hz)
-                    oh_sel, lat = light_tri_attrs(lt_tri)
-                    su = jnp.sqrt(lu1)
-                    b1 = su * (1.0 - lu2)
-                    b2 = su * lu2
-                    ptx = lat[:, _A_P0:_A_P0 + 1] + lat[:, _A_E1:_A_E1 + 1] * b1 + lat[:, _A_E2:_A_E2 + 1] * b2
-                    pty = lat[:, _A_P0 + 1:_A_P0 + 2] + lat[:, _A_E1 + 1:_A_E1 + 2] * b1 + lat[:, _A_E2 + 1:_A_E2 + 2] * b2
-                    ptz = lat[:, _A_P0 + 2:_A_P0 + 3] + lat[:, _A_E1 + 2:_A_E1 + 3] * b1 + lat[:, _A_E2 + 2:_A_E2 + 3] * b2
-                    lnx = lat[:, _A_N0:_A_N0 + 1] + lat[:, _A_N1:_A_N1 + 1] + lat[:, _A_N2:_A_N2 + 1]
-                    lny = lat[:, _A_N0 + 1:_A_N0 + 2] + lat[:, _A_N1 + 1:_A_N1 + 2] + lat[:, _A_N2 + 1:_A_N2 + 2]
-                    lnz = lat[:, _A_N0 + 2:_A_N0 + 3] + lat[:, _A_N1 + 2:_A_N1 + 3] + lat[:, _A_N2 + 2:_A_N2 + 3]
-                    lnx, lny, lnz = _norm3(lnx, lny, lnz)
-                    tlx, tly, tlz = ptx - hx, pty - hy, ptz - hz
-                    dist = jnp.sqrt(jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20))
-                    ldx, ldy, ldz = tlx / dist, tly / dist, tlz / dist
-
-                    t_sh, hit_sh, _, _ = trace(hx + nx * 1e-12, hy + ny * 1e-12,
-                                               hz + nz * 1e-12, ldx, ldy, ldz)
-                    vis = jnp.sum(onehot_ref[:] * oh_sel, axis=1,
-                                  keepdims=True) > 0.5
-                    visible = vis & (lt_tri >= 0)
-
-                    fd = cook_torrance(nx, ny, nz, vx, vy, vz,
-                                       ldx, ldy, ldz, attrs)
-                    cos_x = jnp.maximum(ldx * nx + ldy * ny + ldz * nz, 0.0)
-                    cos_y = jnp.maximum(-(ldx * lnx + ldy * lny + ldz * lnz), 1e-12)
-                    area = jnp.maximum(lat[:, _A_AREA:_A_AREA + 1], 1e-20)
-                    pdf_direct = pmf * (1.0 / area) * dist * dist / cos_y
-                    alb = attrs[:, _A_ALBEDO:_A_ALBEDO + 3]
-                    rough = attrs[:, _A_ROUGH:_A_ROUGH + 1]
-                    metal = attrs[:, _A_METAL:_A_METAL + 1]
-                    pdf_brdf_l = _mixture_pdf(nx, ny, nz, vx, vy, vz,
-                                              ldx, ldy, ldz, alb, rough, metal)
-                    lem = lat[:, _A_EMISSION:_A_EMISSION + 3]
-                    if single:
-                        w_direct = jnp.ones_like(pdf_direct)
-                    else:
-                        w_direct = pdf_direct / jnp.maximum(pdf_brdf_l + pdf_direct, 1e-12)
-                    dscale = w_direct / jnp.maximum(pdf_direct, 1e-20) * cos_x
-                    lane = active & visible & (pmf > 0.0)
-                    for c in range(3):
-                        rad[c] = rad[c] + jnp.where(lane, thr[c] * dscale * fd[c] * lem[:, c:c + 1], 0.0)
-
-                    if single:
-                        break
+                    nx, ny, nz = surf["nx"], surf["ny"], surf["nz"]
+                    key, rad = _nee_direct(key, surf, hx, hy, hz,
+                                           vx, vy, vz, thr, rad, active,
+                                           use_mis=True)
 
                     # ---- BRDF continuation ---------------------------------
-                    key, sx, sy, sz, pdf_brdf = scatter(key, nx, ny, nz,
-                                                        vx, vy, vz, attrs)
-                    fc = cook_torrance(nx, ny, nz, vx, vy, vz, sx, sy, sz, attrs)
+                    key, sx, sy, sz, pdf_brdf = scatter(key, surf, vx, vy, vz)
+                    fc = _cook_torrance(nx, ny, nz, vx, vy, vz, sx, sy, sz,
+                                        surf["alb"], surf["rough"],
+                                        surf["metal"])
                     cos_t = jnp.maximum(sx * nx + sy * ny + sz * nz, 0.0)
                     ok = pdf_brdf > 0.0
                     cscale = cos_t / jnp.maximum(pdf_brdf, 1e-12)
-                    for c in range(3):
-                        thr[c] = thr[c] * fc[c] * cscale
+                    thr = tuple(thr[c] * fc[c] * cscale for c in range(3))
                     active = active & ok
 
                     nox = hx + nx * 1e-12
                     noy = hy + ny * 1e-12
                     noz = hz + nz * 1e-12
-                    t, hit, uu, vv = trace(nox, noy, noz, sx, sy, sz)
-                    new_attrs, nnx, nny, nnz = lookup_attrs(uu, vv)
+                    t, hit, uu, vv, tri = trace(nox, noy, noz, sx, sy, sz)
+                    surf2 = surf_lookup(tri, uu, vv)
                     miss = ~hit
-                    for c in range(3):
-                        rad[c] = rad[c] + jnp.where(active & miss,
-                                                    thr[c] * sky[c], 0.0)
+                    rad = tuple(rad[c] + jnp.where(active & miss,
+                                                   thr[c] * sky[c], 0.0)
+                                for c in range(3))
                     active = active & hit
 
-                    em = new_attrs[:, _A_EMISSION:_A_EMISSION + 3]
-                    em_hit = jnp.sum(em * em, axis=1, keepdims=True) > 0.0
+                    em = surf2["em"]
+                    em_hit = (em[0] * em[0] + em[1] * em[1]
+                              + em[2] * em[2]) > 0.0
                     # MIS with light pdf at the ACTUAL hit point
-                    cos_y2 = jnp.maximum(-(sx * nnx + sy * nny + sz * nnz), 1e-12)
-                    area2 = jnp.maximum(new_attrs[:, _A_AREA:_A_AREA + 1], 1e-20)
-                    leaf = new_attrs[:, _A_LEAF:_A_LEAF + 1].astype(jnp.int32)
-                    pmf2 = emitter_pmf(leaf, hx, hy, hz)
+                    cos_y2 = jnp.maximum(
+                        -(sx * surf2["nx"] + sy * surf2["ny"]
+                          + sz * surf2["nz"]), 1e-12)
+                    area2 = jnp.maximum(surf2["area"], 1e-20)
+                    pmf2 = emitter_pmf(surf2["leaf"], hx, hy, hz)
                     dist2 = jnp.maximum(t, 0.0)
                     pdf_direct2 = pmf2 * (1.0 / area2) * dist2 * dist2 / cos_y2
-                    w_brdf = pdf_brdf / jnp.maximum(pdf_brdf + pdf_direct2, 1e-12)
-                    for c in range(3):
-                        rad[c] = rad[c] + jnp.where(active & em_hit,
-                                                    thr[c] * em[:, c:c + 1] * w_brdf, 0.0)
+                    w_brdf = pdf_brdf / jnp.maximum(pdf_brdf + pdf_direct2,
+                                                    1e-12)
+                    rad = tuple(rad[c] + jnp.where(active & em_hit,
+                                                   thr[c] * em[c] * w_brdf,
+                                                   0.0)
+                                for c in range(3))
                     active = active & ~em_hit
 
-                    attrs, nx, ny, nz = new_attrs, nnx, nny, nnz
-                    hx = nox + sx * t
-                    hy = noy + sy * t
-                    hz = noz + sz * t
-                    cdx, cdy, cdz = sx, sy, sz
+                    surf = dict(nx=surf2["nx"], ny=surf2["ny"],
+                                nz=surf2["nz"], alb=surf2["alb"],
+                                rough=surf2["rough"], metal=surf2["metal"])
+                    return (key, active.astype(jnp.float32), thr, rad, surf,
+                            nox + sx * t, noy + sy * t, noz + sz * t,
+                            sx, sy, sz)
 
+                st = jax.lax.fori_loop(
+                    0, bounces, bounce_body,
+                    (key, active.astype(jnp.float32), thr, rad, prim_b,
+                     hx, hy, hz, cdx, cdy, cdz), unroll=False)
+                return st[3]
+
+            rad0 = tuple(jnp.zeros((R, C), jnp.float32) for _ in range(3))
+            rad = jax.lax.fori_loop(0, samples, sample_body, rad0,
+                                    unroll=False)
             inv_s = 1.0 / float(samples)
-            out = []
-            for c in range(3):
-                r = rad[c] * inv_s
-                r = jnp.where(hit0, r, sky[c])
-                r = jnp.where(prim_emissive, em0[:, c:c + 1], r)
-                out.append(r)
-            return out
+            return tuple(acc[c] + jnp.sum(rad[c], axis=0, keepdims=True)
+                         * inv_s for c in range(3))
 
-        frame_fn = nee_frame if nee else hemisphere_frame
+        group_fn = nee_group if nee else hemisphere_group
 
-        def frame_body(fi, acc):
-            frame = frame_ref[0, 0].astype(jnp.uint32) + fi.astype(jnp.uint32)
-            out = frame_fn(frame)
-            return (acc[0] + out[0], acc[1] + out[1], acc[2] + out[2])
-
-        acc0 = (jnp.zeros((C, 1), jnp.float32),) * 3
-        accs = jax.lax.fori_loop(0, n_frames, frame_body, acc0)
-        out_ref[:, 0:1] = accs[0]
-        out_ref[:, 1:2] = accs[1]
-        out_ref[:, 2:3] = accs[2]
+        acc0 = (jnp.zeros((1, C), jnp.float32),) * 3
+        accs = jax.lax.fori_loop(0, n_frames // R, group_fn, acc0)
+        nf = float(n_frames)
+        rows = []
+        for c in range(3):
+            r = jnp.where(hit0, accs[c], nf * sky[c])
+            rows.append(jnp.where(prim_emissive, nf * em0[c], r))
+        # the (8, C) output block keeps sublane tiling aligned (Mosaic
+        # requires 8-divisible block rows); rows 3:8 are dead padding
+        out_ref[:] = jnp.concatenate(
+            rows + [jnp.zeros((5, C), jnp.float32)], axis=0)
 
     grid = (B // C,)
     full = lambda i: (0, 0)
@@ -932,39 +995,53 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
     in_specs = [
         pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
-        pl.BlockSpec((4, T), full, memory_space=pltpu.VMEM),
-        pl.BlockSpec((4, T), full, memory_space=pltpu.VMEM),
-        pl.BlockSpec((4, T), full, memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, _A_COLS), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((_A_COLS, T), full, memory_space=pltpu.VMEM),
     ]
     if nee:
-        in_specs.append(pl.BlockSpec((NL, _L_COLS), full,
+        in_specs.append(pl.BlockSpec((_L_COLS, NL), full,
                                      memory_space=pltpu.VMEM))
 
     @jax.jit
-    def render(cam_mats, wn, wu, wv, A, frame0, L=None):
-        args = [cam_mats, frame0, wn, wu, wv, A]
+    def render(cam_mats, P, AT, frame0, L=None):
+        args = [cam_mats, frame0, P, AT]
         if nee:
             Lp = L
-            if Lp.shape[0] < NL:
-                Lp = jnp.pad(Lp, ((0, NL - Lp.shape[0]), (0, 0)))
+            if Lp.shape[1] < NL:
+                Lp = jnp.pad(Lp, ((0, 0), (0, NL - Lp.shape[1])))
             args.append(Lp)
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((C, 3), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((8, C), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, 3), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((C, T), jnp.float32)],
+            out_shape=jax.ShapeDtypeStruct((8 * (B // C), C), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((6 * RS, C), jnp.float32),       # rayin
+                pltpu.VMEM((3 * RS, C), jnp.float32),       # trout
+                pltpu.VMEM((RS, C), jnp.int32),             # trouti
+                pltpu.VMEM((RS, C), jnp.int32),             # lkin
+                pltpu.VMEM((NR_MAX * RS, C), jnp.float32),  # bank
+            ],
             interpret=interpret,
         )(*args)
+        out = out.reshape(B // C, 8, C)[:, :3, :]
+        return out.transpose(0, 2, 1).reshape(B, 3)
 
     return render
 
 
+def _pick_frame_group(n_frames: int) -> int:
+    for r in (8, 4, 2):
+        if n_frames % r == 0:
+            return r
+    return 1
+
+
 class MegakernelRenderer:
-    """Drop-in fast renderer: cosine-family techniques, untextured scenes.
+    """Drop-in fast renderer: cosine-family techniques + NEE, untextured
+    scenes.
 
     Usage::
         mk = MegakernelRenderer(scene, camera, settings)
@@ -997,8 +1074,10 @@ class MegakernelRenderer:
                 self.camera.width, self.camera.height, self.settings.bounces,
                 samples, self.settings.sky_color, n_frames,
                 self.scene.geometry.tri_v.shape[0], sampler=self.sampler,
-                n_light_nodes=self.light_table.shape[0],
-                light_depth=self.light_depth, interpret=self.interpret)
+                n_light_nodes=self.light_table.shape[1],
+                light_depth=self.light_depth,
+                frame_group=_pick_frame_group(n_frames),
+                interpret=self.interpret)
         return self._render_cache[key]
 
     def render_many(self, n_frames: int):
@@ -1006,8 +1085,8 @@ class MegakernelRenderer:
             jnp.asarray(self.camera.inv_projection),
             jnp.asarray(self.camera.inv_view)], axis=0)
         frame0 = jnp.asarray([[self.frame_index]], jnp.int32)
-        wn, wu, wv, A = self.tables
-        summed = self._renderer(n_frames)(cam_mats, wn, wu, wv, A, frame0,
+        P, AT = self.tables
+        summed = self._renderer(n_frames)(cam_mats, P, AT, frame0,
                                           L=self.light_table)
         self.accum = self.accum + summed
         self.frame_index += n_frames

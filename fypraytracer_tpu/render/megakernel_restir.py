@@ -34,22 +34,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fypraytracer_tpu.core import rng as host_rng
 from fypraytracer_tpu.render.megakernel import (
-    RAY_TILE,
-    TRI_TILE,
     _A_ALBEDO,
     _A_METAL,
     _A_ROUGH,
-    _BIG,
-    _PI,
-    _cook_torrance_attrs,
     _fold,
+    _next_uniform,
+    _pcg,
+    _u32,
+)
+from fypraytracer_tpu.render._mk_legacy import (
+    RAY_TILE,
+    TRI_TILE,
+    _cook_torrance_attrs,
     _make_lookup,
     _make_raygen,
     _make_trace,
-    _next_uniform,
-    _norm3,
-    _pcg,
-    _u32,
     prepare_scene_tables,
 )
 from fypraytracer_tpu.scene.types import Scene
