@@ -29,11 +29,17 @@ def main():
     P, AT = prepare_scene_tables(dscene)
     L, depth = prepare_light_table(dscene)
 
-    render = make_megakernel(256, 256, bounces=2, samples=1,
+    from fypraytracer_tpu.render import megakernel as mkmod
+    bounces = int(os.environ.get("PROBE_BOUNCES", "2"))
+    depth = int(os.environ.get("PROBE_DEPTH", str(depth)))
+    lanes = int(os.environ.get("PROBE_LANES", str(mkmod.RAY_LANES)))
+    tt = int(os.environ.get("PROBE_TT", str(mkmod.TRI_TILE)))
+    render = make_megakernel(256, 256, bounces=bounces, samples=1,
                              sky_color=(0.05, 0.06, 0.08), n_frames=frames,
                              n_tris=scene.geometry.tri_v.shape[0],
                              sampler=sampler, n_light_nodes=L.shape[1],
-                             light_depth=depth, frame_group=R)
+                             light_depth=depth, frame_group=R,
+                             ray_lanes=lanes, tri_tile=tt)
     cam_mats = jnp.concatenate([jnp.asarray(cam.inv_projection),
                                 jnp.asarray(cam.inv_view)], axis=0)
     frame0 = jnp.asarray([[1]], jnp.int32)

@@ -52,8 +52,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fypraytracer_tpu.scene.types import Scene
 
-RAY_LANES = 128   # rays per lane block (the f32 vreg lane width)
-TRI_TILE = 512
+# Rays per lane block / triangles per intersection tile.  Wider lane
+# blocks amortize fori_loop per-iteration overhead, which dominates this
+# runtime (measured NEE ms/frame at (C, TT): (128,512)→9.2, (256,256)→2.9,
+# (512,256)→0.92); the ceiling is the ~16 MB VMEM scoped stack.
+RAY_LANES = 512
+TRI_TILE = 256
 
 _BIG = 3.0e38
 _PI = 3.1415926535
@@ -105,25 +109,27 @@ _A_LEAF = 27    # light-tree leaf id of this triangle (-1 none)
 _A_NS = 28      # 28:31 unnormalized n0+n1+n2 (area-light facet normal)
 _A_COLS = 32    # padded
 
-# light-tree node table rows (SoA of scene/types.py::LightTreeArrays;
-# L_T is (_L_COLS, N_nodes))
-_L_BLO = 0      # 0:3
-_L_BHI = 3      # 3:6
-_L_AXIS = 6     # 6:9
-_L_COS_O = 9
-_L_SIN_O = 10
-_L_COS_E = 11
-_L_SIN_E = 12
-_L_ENERGY = 13
-_L_LEFT = 14
-_L_RIGHT = 15
-_L_TRI = 16
-_L_PARENT = 17
-_L_COLS = 24    # padded
+# packed light-tree node table rows (from scene/types.py::LightTreeArrays;
+# L_T is (_P_COLS, N_nodes)).  Each node's row carries BOTH children's
+# importance attributes so one lookup serves a whole descent level — the
+# descent is lookup-bound, not math-bound (PERF.md).  Importance-attribute
+# order within a 14-row block: box_lo(3), box_hi(3), axis(3), cos_o,
+# sin_o, cos_e, sin_e, energy.
+_P_LIMP = 0     # 0:14  left child importance attributes
+_P_RIMP = 14    # 14:28 right child importance attributes
+_P_LID = 28     # left child id (-1 leaf)
+_P_RID = 29     # right child id
+_P_TRI = 30     # global triangle id at leaves (-1 inner)
+_P_PAR = 31     # parent id (-1 root)
+# PMF-replay block: the PARENT's children importance attributes + which
+# side this node is, so the bottom-up replay is also ONE lookup per level
+_P_PLIMP = 32   # 32:46
+_P_PRIMP = 46   # 46:60
+_P_ISL = 60     # 1.0 if this node is its parent's left child
+_P_COLS = 64
 
-_IMP_ROWS = list(range(_L_BLO, _L_BLO + 3)) + list(range(_L_BHI, _L_BHI + 3)) \
-    + list(range(_L_AXIS, _L_AXIS + 3)) \
-    + [_L_COS_O, _L_SIN_O, _L_COS_E, _L_SIN_E, _L_ENERGY]
+_DESC_ROWS = list(range(30))  # one descent level: both imps + child ids
+_PMF_ROWS = list(range(_P_PLIMP, _P_PLIMP + 28)) + [_P_ISL, _P_PAR]
 
 _SURF_ROWS = list(range(_A_ALBEDO, _A_ALBEDO + 3)) \
     + list(range(_A_EMISSION, _A_EMISSION + 3)) + [_A_ROUGH, _A_METAL] \
@@ -205,29 +211,40 @@ def prepare_scene_tables(scene: Scene):
 
 
 def prepare_light_table(scene: Scene, n_pad: int = 128):
-    """Light-tree nodes as one dense (_L_COLS, N) table (node id in the
-    lane dim) for one-hot lookups; cos/sin of cone angles precomputed."""
+    """Light-tree nodes as one dense packed (_P_COLS, N) table (node id
+    in the lane dim): each node row holds BOTH children's importance
+    attributes (cos/sin of the cone angles precomputed) + child/tri/
+    parent links, so a descent level is ONE one-hot lookup."""
     lt = scene.light_tree
     n = lt.energy.shape[0]
     NP = max(((max(n, 1) + n_pad - 1) // n_pad) * n_pad, n_pad)
-    L = jnp.zeros((NP, _L_COLS), jnp.float32)
-    L = L.at[:n, _L_BLO:_L_BLO + 3].set(lt.box_lo)
-    L = L.at[:n, _L_BHI:_L_BHI + 3].set(lt.box_hi)
-    L = L.at[:n, _L_AXIS:_L_AXIS + 3].set(lt.axis)
-    L = L.at[:n, _L_COS_O].set(jnp.cos(lt.theta_o))
-    L = L.at[:n, _L_SIN_O].set(jnp.sin(lt.theta_o))
-    L = L.at[:n, _L_COS_E].set(jnp.cos(lt.theta_e))
-    L = L.at[:n, _L_SIN_E].set(jnp.sin(lt.theta_e))
-    L = L.at[:n, _L_ENERGY].set(lt.energy)
-    L = L.at[:n, _L_LEFT].set(lt.left.astype(jnp.float32))
-    L = L.at[:n, _L_RIGHT].set(lt.right.astype(jnp.float32))
-    L = L.at[:n, _L_TRI].set(lt.tri.astype(jnp.float32))
-    L = L.at[:n, _L_PARENT].set(lt.parent.astype(jnp.float32))
+
+    def imp_block(ids):
+        return jnp.concatenate([
+            lt.box_lo[ids], lt.box_hi[ids], lt.axis[ids],
+            jnp.cos(lt.theta_o[ids])[:, None],
+            jnp.sin(lt.theta_o[ids])[:, None],
+            jnp.cos(lt.theta_e[ids])[:, None],
+            jnp.sin(lt.theta_e[ids])[:, None],
+            lt.energy[ids][:, None]], axis=1)
+
+    li = jnp.maximum(lt.left, 0)
+    ri = jnp.maximum(lt.right, 0)
+    par = jnp.maximum(lt.parent, 0)
+    me = jnp.arange(n, dtype=lt.left.dtype)
+    L = jnp.zeros((NP, _P_COLS), jnp.float32)
+    L = L.at[:n, _P_LIMP:_P_LIMP + 14].set(imp_block(li))
+    L = L.at[:n, _P_RIMP:_P_RIMP + 14].set(imp_block(ri))
+    L = L.at[:n, _P_LID].set(lt.left.astype(jnp.float32))
+    L = L.at[:n, _P_RID].set(lt.right.astype(jnp.float32))
+    L = L.at[:n, _P_TRI].set(lt.tri.astype(jnp.float32))
+    L = L.at[:n, _P_PAR].set(lt.parent.astype(jnp.float32))
+    L = L.at[:n, _P_PLIMP:_P_PLIMP + 14].set(imp_block(li[par]))
+    L = L.at[:n, _P_PRIMP:_P_PRIMP + 14].set(imp_block(ri[par]))
+    L = L.at[:n, _P_ISL].set((lt.left[par] == me).astype(jnp.float32))
     if n < NP:
-        L = L.at[n:, _L_LEFT].set(-1.0)
-        L = L.at[n:, _L_RIGHT].set(-1.0)
-        L = L.at[n:, _L_TRI].set(-1.0)
-        L = L.at[n:, _L_PARENT].set(-1.0)
+        for col in (_P_LID, _P_RID, _P_TRI, _P_PAR):
+            L = L.at[n:, col].set(-1.0)
     return L.T, lt.max_depth
 
 
@@ -384,9 +401,9 @@ def _cook_torrance(nx, ny, nz, vx, vy, vz, lx, ly, lz, alb, rough, metal):
 
 def _node_importance(nd, px, py, pz):
     """ComputeClusterImportance in cosine space (ops/lighttree.py) from a
-    dict of _L_* node-attribute lane rows."""
-    blo = [nd[_L_BLO + c] for c in range(3)]
-    bhi = [nd[_L_BHI + c] for c in range(3)]
+    14-list of node-attribute lane rows in _P_LIMP block order."""
+    blo = nd[0:3]
+    bhi = nd[3:6]
     cx = [(blo[c] + bhi[c]) * 0.5 for c in range(3)]
     axx, axy, axz = _norm3(cx[0] - px, cx[1] - py, cx[2] - pz)
 
@@ -402,14 +419,13 @@ def _node_importance(nd, px, py, pz):
     dx, dy, dz = px - cx[0], py - cx[1], pz - cx[2]
     dist2 = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-12)
     dx, dy, dz = _norm3(dx, dy, dz)
-    cos_t = jnp.clip(nd[_L_AXIS] * dx + nd[_L_AXIS + 1] * dy
-                     + nd[_L_AXIS + 2] * dz, -1.0, 1.0)
+    cos_t = jnp.clip(nd[6] * dx + nd[7] * dy + nd[8] * dz, -1.0, 1.0)
     sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
 
-    cos_o = nd[_L_COS_O]
-    sin_o = nd[_L_SIN_O]
-    cos_e = nd[_L_COS_E]
-    sin_e = nd[_L_SIN_E]
+    cos_o = nd[9]
+    sin_o = nd[10]
+    cos_e = nd[11]
+    sin_e = nd[12]
 
     cos_a = cos_o * cos_u - sin_o * sin_u
     sin_a = sin_o * cos_u + cos_o * sin_u
@@ -420,13 +436,14 @@ def _node_importance(nd, px, py, pz):
     cos_b = cos_a * cos_e - sin_a * sin_e
     clamp_high = (~b_ge_pi) & (cos_t <= cos_b)
     val = jnp.where(clamp_low, 1.0, jnp.where(clamp_high, cos_e, cos_diff))
-    return nd[_L_ENERGY] * val / dist2
+    return nd[13] * val / dist2
 
 
 def make_megakernel(width: int, height: int, bounces: int, samples: int,
                     sky_color, n_frames: int, n_tris: int,
                     sampler: str = "cosine", n_light_nodes: int = 0,
                     light_depth: int = 1, frame_group: int = 1,
+                    ray_lanes: int = RAY_LANES, tri_tile: int = TRI_TILE,
                     interpret: bool = False):
     """Build the jitted megakernel renderer for a fixed configuration.
 
@@ -440,18 +457,18 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
     HDR summed over ``n_frames``; cam_mats = stack([inv_proj, inv_view]).
     """
     B = width * height
-    C = RAY_LANES
+    C = ray_lanes
+    TT = tri_tile
     R = frame_group
-    assert B % C == 0, "pixel count must divide RAY_LANES"
+    assert B % C == 0, "pixel count must divide ray_lanes"
     assert n_frames % R == 0, "frame_group must divide n_frames"
-    T = n_tris + ((-n_tris) % TRI_TILE)
-    n_tri_tiles = T // TRI_TILE
+    T = n_tris + ((-n_tris) % TT)
     sky = tuple(float(c) for c in sky_color)
     nee = sampler == "nee"
     NL = max(((n_light_nodes + 127) // 128) * 128, 128)
 
     RS = 8           # scratch row geometry (one full sublane tile), ≥ R
-    NR_MAX = 19      # widest attribute-row fetch (len(_SURF_ROWS))
+    NR_MAX = 30      # widest row fetch (len(_DESC_ROWS) > len(_SURF_ROWS))
 
     def kernel(*refs):
         if nee:
@@ -485,7 +502,8 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         oy0 = jnp.zeros_like(dx0) + iv[1, 3]
         oz0 = jnp.zeros_like(dx0) + iv[2, 3]
 
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (TRI_TILE, C), 0)
+        n_tri_tiles = T // TT
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (TT, C), 0)
 
         def _rot(block):
             return jnp.concatenate([block[1:], block[0:1]], axis=0)
@@ -517,7 +535,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                 rdx = rayin[3 * RS:3 * RS + 1, :]
                 rdy = rayin[4 * RS:4 * RS + 1, :]
                 rdz = rayin[5 * RS:5 * RS + 1, :]
-                pt = p_ref[pl.ds(k * TRI_TILE, TRI_TILE), :]     # (TT, 16)
+                pt = p_ref[pl.ds(k * TT, TT), :]     # (TT, 16)
 
                 def pc(j):
                     return pt[:, j:j + 1]
@@ -552,7 +570,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                 t_n = jnp.where(better, t_min, eff_t)
                 u_n = jnp.where(better, u_k, jnp.where(fresh, 0.0, u_c))
                 v_n = jnp.where(better, v_k, jnp.where(fresh, 0.0, v_c))
-                tri_n = jnp.where(better, ridx + k * TRI_TILE, eff_tri)
+                tri_n = jnp.where(better, ridx + k * TT, eff_tri)
 
                 @pl.when(k == n_tri_tiles - 1)
                 def _append():
@@ -660,13 +678,17 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         if nee:
 
             def node_rows(idx, rows):
-                """Light-tree node-attribute fetch; shares the lkin/bank
+                """Packed light-tree node fetch; shares the lkin/bank
                 scratches with tri_rows (calls are sequential)."""
                 return _rows_lookup(l_ref, NL, idx, rows)
 
-            def child_probs(li, ri, px, py, pz):
-                i_l = _node_importance(node_rows(li, _IMP_ROWS), px, py, pz)
-                i_r = _node_importance(node_rows(ri, _IMP_ROWS), px, py, pz)
+            def level_probs(nd, px, py, pz, base=_P_LIMP):
+                """p(go left) from ONE packed node row (both children's
+                importance attributes ride the row — no child fetches)."""
+                i_l = _node_importance([nd[base + j] for j in range(14)],
+                                       px, py, pz)
+                i_r = _node_importance([nd[base + 14 + j] for j in range(14)],
+                                       px, py, pz)
                 s = i_l + i_r
                 p_left = jnp.where(s > 0.0, i_l / jnp.where(s > 0.0, s, 1.0),
                                    0.5)
@@ -681,11 +703,11 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
 
                 def level(_, st):
                     idx, pmf, rand = st
-                    nd = node_rows(idx, [_L_LEFT, _L_RIGHT])
-                    at_leaf = nd[_L_LEFT] < 0.0
-                    li = jnp.maximum(nd[_L_LEFT], 0.0).astype(jnp.int32)
-                    ri = jnp.maximum(nd[_L_RIGHT], 0.0).astype(jnp.int32)
-                    p_left = child_probs(li, ri, px, py, pz)
+                    nd = node_rows(idx, _DESC_ROWS)
+                    at_leaf = nd[_P_LID] < 0.0
+                    li = jnp.maximum(nd[_P_LID], 0.0).astype(jnp.int32)
+                    ri = jnp.maximum(nd[_P_RID], 0.0).astype(jnp.int32)
+                    p_left = level_probs(nd, px, py, pz)
                     go_left = rand < p_left
                     new_pmf = pmf * jnp.where(go_left, p_left, 1.0 - p_left)
                     new_rand = jnp.where(go_left, rand / p_left,
@@ -699,7 +721,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
 
                 idx, pmf, _ = jax.lax.fori_loop(0, light_depth, level,
                                                 (idx0, pmf0, rand0))
-                tri_sel = node_rows(idx, [_L_TRI])[_L_TRI].astype(jnp.int32)
+                tri_sel = node_rows(idx, [_P_TRI])[_P_TRI].astype(jnp.int32)
                 return tri_sel, pmf
 
             def emitter_pmf(leaf, px, py, pz):
@@ -711,14 +733,12 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
 
                 def level(_, st):
                     idx, pmf = st
-                    par = node_rows(idx, [_L_PARENT])[_L_PARENT]
+                    nd = node_rows(idx, _PMF_ROWS)
+                    par = nd[_P_PAR]
                     valid = par >= 0.0
                     parc = jnp.maximum(par, 0.0).astype(jnp.int32)
-                    pr = node_rows(parc, [_L_LEFT, _L_RIGHT])
-                    li = jnp.maximum(pr[_L_LEFT], 0.0).astype(jnp.int32)
-                    ri = jnp.maximum(pr[_L_RIGHT], 0.0).astype(jnp.int32)
-                    p_left = child_probs(li, ri, px, py, pz)
-                    went_left = li == idx
+                    p_left = level_probs(nd, px, py, pz, base=_P_PLIMP)
+                    went_left = nd[_P_ISL] > 0.5
                     step = jnp.where(went_left, p_left, 1.0 - p_left)
                     pmf = pmf * jnp.where(valid, step, 1.0)
                     idx = jnp.where(valid, parc, idx)
@@ -999,7 +1019,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         pl.BlockSpec((_A_COLS, T), full, memory_space=pltpu.VMEM),
     ]
     if nee:
-        in_specs.append(pl.BlockSpec((_L_COLS, NL), full,
+        in_specs.append(pl.BlockSpec((_P_COLS, NL), full,
                                      memory_space=pltpu.VMEM))
 
     @jax.jit
@@ -1037,6 +1057,13 @@ def _pick_frame_group(n_frames: int) -> int:
         if n_frames % r == 0:
             return r
     return 1
+
+
+def _pick_ray_lanes(num_pixels: int) -> int:
+    for c in (RAY_LANES, 256, 128):
+        if num_pixels % c == 0:
+            return c
+    raise ValueError(f"pixel count {num_pixels} not divisible by 128")
 
 
 class MegakernelRenderer:
@@ -1077,6 +1104,8 @@ class MegakernelRenderer:
                 n_light_nodes=self.light_table.shape[1],
                 light_depth=self.light_depth,
                 frame_group=_pick_frame_group(n_frames),
+                ray_lanes=_pick_ray_lanes(
+                    self.camera.width * self.camera.height),
                 interpret=self.interpret)
         return self._render_cache[key]
 
