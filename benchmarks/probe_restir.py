@@ -1,0 +1,44 @@
+"""Compile + time the ReSTIR DI megakernel on the real TPU (cornell
+256x256, reference-default M=8 candidates, 5 spatial neighbors)."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+
+    from fypraytracer_tpu.config import RenderSettings, SamplingTechnique
+    from fypraytracer_tpu.render.megakernel_restir import MegakernelReSTIRDI
+    from fypraytracer_tpu.scene.procedural import cornell_box
+
+    builder, cam = cornell_box(width=256, height=256)
+    scene = builder.compile()
+    settings = RenderSettings(technique=SamplingTechnique.RESTIR_DI,
+                              sky_color=(0.05, 0.06, 0.08))
+    mk = MegakernelReSTIRDI(scene, cam, settings)
+
+    t0 = time.perf_counter()
+    out = mk.render_many(frames)
+    v = float(jax.jit(lambda x: x.ravel()[0])(out))
+    t1 = time.perf_counter()
+    print(f"COMPILE+RUN OK frames={frames} first={v:.4f} "
+          f"wall={t1 - t0:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    out = mk.render_many(frames)
+    float(jax.jit(lambda x: x.ravel()[0])(out))
+    dt = time.perf_counter() - t0 - 0.4
+    print(f"steady: {dt*1000:.1f} ms total, {dt*1000/frames:.2f} ms/frame",
+          flush=True)
+    print("mean:", float(jnp.mean(out)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -399,6 +399,194 @@ def _cook_torrance(nx, ny, nz, vx, vy, vz, lx, ly, lz, alb, rough, metal):
     return out
 
 
+
+_NR_MAX = 30     # widest row fetch (len(_DESC_ROWS) > len(_SURF_ROWS))
+_RS = 8          # scratch row geometry (one full sublane tile), >= frame rows
+
+
+def _rot_block(block):
+    return jnp.concatenate([block[1:], block[0:1]], axis=0)
+
+
+def build_raygen(cam, width, height):
+    """Camera-ray components from the (8, 4) [inv_proj; inv_view] block
+    (core/camera.py::generate_rays semantics, top-down rows)."""
+    ip = cam[0:4]
+    iv = cam[4:8]
+
+    def raygen(pix):
+        pxf = (pix % width).astype(jnp.float32)
+        pyf = (pix // width).astype(jnp.float32)
+        ndc_x = (pxf / width) * 2.0 - 1.0
+        ndc_y = 1.0 - (pyf / height) * 2.0
+        tx = ip[0, 0] * ndc_x + ip[0, 1] * ndc_y + ip[0, 2] + ip[0, 3]
+        ty = ip[1, 0] * ndc_x + ip[1, 1] * ndc_y + ip[1, 2] + ip[1, 3]
+        tz = ip[2, 0] * ndc_x + ip[2, 1] * ndc_y + ip[2, 2] + ip[2, 3]
+        tw = ip[3, 0] * ndc_x + ip[3, 1] * ndc_y + ip[3, 2] + ip[3, 3]
+        tx, ty, tz = _norm3(tx / tw, ty / tw, tz / tw)
+        dx = iv[0, 0] * tx + iv[0, 1] * ty + iv[0, 2] * tz
+        dy = iv[1, 0] * tx + iv[1, 1] * ty + iv[1, 2] * tz
+        dz = iv[2, 0] * tx + iv[2, 1] * ty + iv[2, 2] * tz
+        ox = jnp.zeros_like(dx) + iv[0, 3]
+        oy = jnp.zeros_like(dx) + iv[1, 3]
+        oz = jnp.zeros_like(dx) + iv[2, 3]
+        return ox, oy, oz, dx, dy, dz
+
+    return raygen
+
+
+def build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS=_RS):
+    """Closest-hit builder over the Baldwin-Weber plane table ``p_ref``
+    ((T, 16) rows).  VMEM-frugal: the whole (frame-row x triangle-tile)
+    sweep is ONE ``fori_loop`` body, so the (TT, C) intersection
+    intermediates are allocated once -- Mosaic's scoped-vmem stack does
+    NOT reuse slots across unrolled trace bodies (measured: 8 unrolled
+    rows demanded 80 MB against the ~16 MB budget).  Ray rows rotate
+    through the ``rayin`` scratch so all slicing is static; the only
+    dynamic slice is the tile-aligned triangle load.
+
+    Returns ``trace(ox, oy, oz, dx, dy, dz) -> (t, hit, u, v, tri)`` on
+    (R', C) blocks; tri = -1 on miss; tie-break = lowest triangle id
+    (oracle scan order)."""
+    n_tri_tiles = T // TT
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (TT, C), 0)
+
+    def trace(ox, oy, oz, dx, dy, dz):
+        ox, oy, oz, dx, dy, dz = jnp.broadcast_arrays(ox, oy, oz,
+                                                      dx, dy, dz)
+        rr = ox.shape[0]
+        for ci, val in enumerate((ox, oy, oz, dx, dy, dz)):
+            rayin[ci * RS:ci * RS + rr, :] = val
+
+        def body(i, carry):
+            t_c, u_c, v_c, tri_c = carry
+            k = i % n_tri_tiles
+            fresh = k == 0
+            rox = rayin[0 * RS:0 * RS + 1, :]
+            roy = rayin[1 * RS:1 * RS + 1, :]
+            roz = rayin[2 * RS:2 * RS + 1, :]
+            rdx = rayin[3 * RS:3 * RS + 1, :]
+            rdy = rayin[4 * RS:4 * RS + 1, :]
+            rdz = rayin[5 * RS:5 * RS + 1, :]
+            pt = p_ref[pl.ds(k * TT, TT), :]     # (TT, 16)
+
+            def pc(j):
+                return pt[:, j:j + 1]
+
+            o_n = pc(0) * rox + pc(1) * roy + pc(2) * roz + pc(3)
+            d_n = pc(0) * rdx + pc(1) * rdy + pc(2) * rdz
+            o_u = pc(4) * rox + pc(5) * roy + pc(6) * roz + pc(7)
+            d_u = pc(4) * rdx + pc(5) * rdy + pc(6) * rdz
+            o_v = pc(8) * rox + pc(9) * roy + pc(10) * roz + pc(11)
+            d_v = pc(8) * rdx + pc(9) * rdy + pc(10) * rdz
+
+            okp = jnp.abs(d_n) > 1e-12
+            t = -o_n / jnp.where(okp, d_n, 1.0)
+            uu = o_u + t * d_u
+            vv = o_v + t * d_v
+            hit = okp & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) \
+                & (t > 1e-4)
+            t = jnp.where(hit, t, _BIG)
+            t_min = jnp.min(t, axis=0, keepdims=True)        # (1, C)
+            at_min = (t == t_min) & (t_min < _BIG)
+            ridx = jnp.min(jnp.where(at_min, row_iota, 2 ** 30),
+                           axis=0, keepdims=True)
+            first = at_min & (row_iota == ridx)
+            u_k = jnp.sum(jnp.where(first, uu, 0.0), axis=0,
+                          keepdims=True)
+            v_k = jnp.sum(jnp.where(first, vv, 0.0), axis=0,
+                          keepdims=True)
+
+            eff_t = jnp.where(fresh, _BIG, t_c)
+            eff_tri = jnp.where(fresh, -1, tri_c)
+            better = t_min < eff_t
+            t_n = jnp.where(better, t_min, eff_t)
+            u_n = jnp.where(better, u_k, jnp.where(fresh, 0.0, u_c))
+            v_n = jnp.where(better, v_k, jnp.where(fresh, 0.0, v_c))
+            tri_n = jnp.where(better, ridx + k * TT, eff_tri)
+
+            @pl.when(k == n_tri_tiles - 1)
+            def _append():
+                trout[:] = jnp.concatenate(
+                    [trout[1:RS], t_n, trout[RS + 1:2 * RS], u_n,
+                     trout[2 * RS + 1:], v_n], axis=0)
+                trouti[:] = jnp.concatenate([trouti[1:], tri_n], axis=0)
+                rayin[:] = jnp.concatenate(
+                    [_rot_block(rayin[ci * RS:(ci + 1) * RS])
+                     for ci in range(6)], axis=0)
+
+            return t_n, u_n, v_n, tri_n
+
+        z1 = jnp.zeros((1, C), jnp.float32)
+        jax.lax.fori_loop(0, rr * n_tri_tiles, body,
+                          (z1, z1, z1, jnp.zeros((1, C), jnp.int32)),
+                          unroll=False)
+        t = trout[RS - rr:RS, :]
+        u = trout[2 * RS - rr:2 * RS, :]
+        v = trout[3 * RS - rr:3 * RS, :]
+        tri = trouti[RS - rr:RS, :]
+        return t, t < _BIG, u, v, tri
+
+    return trace
+
+
+def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX):
+    """One-hot MXU table-row fetch builder.  Returns
+    ``lookup(table_ref, n_entries, idx, rows) -> {row: (R', C)}``;
+    id = -1 fetches zeros.  One frame row's one-hot is live at a time
+    (fori body + rotating bank -- see build_trace VMEM note).  All
+    concatenation is along dim 0 (sublanes): lane-axis concat of row
+    slices with differing sublane offsets does not lower in Mosaic."""
+
+    def bank_append(pieces):
+        segs = []
+        for j in range(nr_max):
+            segs.append(bank[j * RS + 1:(j + 1) * RS])
+            segs.append(pieces[j] if j < len(pieces)
+                        else bank[j * RS:j * RS + 1])
+        bank[:] = jnp.concatenate(segs, axis=0)
+
+    def lookup(table_ref, n_entries, idx, rows):
+        rr = idx.shape[0]
+        lkin[0:rr, :] = idx
+
+        def body(g, _):
+            idxg = lkin[0:1, :]
+            iota_t = jax.lax.broadcasted_iota(jnp.int32, (n_entries, C), 0)
+            oh = (iota_t == idxg).astype(jnp.float32)
+            at = jnp.dot(table_ref[:], oh,
+                         preferred_element_type=jnp.float32)
+            bank_append([at[r:r + 1, :] for r in rows])
+            lkin[:] = jnp.concatenate([lkin[1:], lkin[0:1]], axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, rr, body, 0, unroll=False)
+        return {r: bank[j * RS + RS - rr:(j + 1) * RS, :]
+                for j, r in enumerate(rows)}
+
+    return lookup
+
+
+def build_surf_lookup(tri_rows):
+    """Hit-surface attributes + interpolated shading normal from a
+    ``tri_rows(idx, rows)`` fetcher."""
+
+    def surf_lookup(tri_idx, u, v):
+        rw = tri_rows(tri_idx, _SURF_ROWS)
+        w = 1.0 - u - v
+        nx = w * rw[_A_N0] + u * rw[_A_N1] + v * rw[_A_N2]
+        ny = w * rw[_A_N0 + 1] + u * rw[_A_N1 + 1] + v * rw[_A_N2 + 1]
+        nz = w * rw[_A_N0 + 2] + u * rw[_A_N1 + 2] + v * rw[_A_N2 + 2]
+        nx, ny, nz = _norm3(nx, ny, nz)
+        return dict(
+            alb=(rw[_A_ALBEDO], rw[_A_ALBEDO + 1], rw[_A_ALBEDO + 2]),
+            em=(rw[_A_EMISSION], rw[_A_EMISSION + 1], rw[_A_EMISSION + 2]),
+            rough=rw[_A_ROUGH], metal=rw[_A_METAL], area=rw[_A_AREA],
+            leaf=rw[_A_LEAF].astype(jnp.int32), nx=nx, ny=ny, nz=nz)
+
+    return surf_lookup
+
+
 def _node_importance(nd, px, py, pz):
     """ComputeClusterImportance in cosine space (ops/lighttree.py) from a
     14-list of node-attribute lane rows in _P_LIMP block order."""
@@ -479,171 +667,17 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
              rayin, trout, trouti, lkin, bank) = refs
         tile = pl.program_id(0)
         cam = cam_ref[:]                   # (8, 4): inv_proj rows, inv_view rows
-        ip = cam[0:4]
-        iv = cam[4:8]
-
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
         pix = tile * C + lane              # (1, C) int32
-        pxf = (pix % width).astype(jnp.float32)
-        pyf = (pix // width).astype(jnp.float32)
+        ox0, oy0, oz0, dx0, dy0, dz0 = build_raygen(cam, width, height)(pix)
 
-        # raygen (core/camera.py::generate_rays semantics, top-down rows)
-        ndc_x = (pxf / width) * 2.0 - 1.0
-        ndc_y = 1.0 - (pyf / height) * 2.0
-        tx = ip[0, 0] * ndc_x + ip[0, 1] * ndc_y + ip[0, 2] + ip[0, 3]
-        ty = ip[1, 0] * ndc_x + ip[1, 1] * ndc_y + ip[1, 2] + ip[1, 3]
-        tz = ip[2, 0] * ndc_x + ip[2, 1] * ndc_y + ip[2, 2] + ip[2, 3]
-        tw = ip[3, 0] * ndc_x + ip[3, 1] * ndc_y + ip[3, 2] + ip[3, 3]
-        tx, ty, tz = _norm3(tx / tw, ty / tw, tz / tw)
-        dx0 = iv[0, 0] * tx + iv[0, 1] * ty + iv[0, 2] * tz
-        dy0 = iv[1, 0] * tx + iv[1, 1] * ty + iv[1, 2] * tz
-        dz0 = iv[2, 0] * tx + iv[2, 1] * ty + iv[2, 2] * tz
-        ox0 = jnp.zeros_like(dx0) + iv[0, 3]
-        oy0 = jnp.zeros_like(dx0) + iv[1, 3]
-        oz0 = jnp.zeros_like(dx0) + iv[2, 3]
-
-        n_tri_tiles = T // TT
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (TT, C), 0)
-
-        def _rot(block):
-            return jnp.concatenate([block[1:], block[0:1]], axis=0)
-
-        def trace(ox, oy, oz, dx, dy, dz):
-            """Closest hit for an (R', C) block.  VMEM-frugal: the whole
-            (frame-row × triangle-tile) sweep is ONE ``fori_loop`` body, so
-            the (TRI_TILE, C) intersection intermediates are allocated
-            once — Mosaic's scoped-vmem stack does NOT reuse slots across
-            unrolled trace bodies (measured: 8 unrolled rows demanded
-            80 MB against the ~16 MB budget).  Ray rows rotate through a
-            fixed scratch so all slicing is static; the only dynamic slice
-            is the tile-aligned triangle load.  Returns (t, hit, u, v,
-            tri) as (R', C); tri = -1 on miss; tie-break = lowest triangle
-            id (oracle scan order)."""
-            ox, oy, oz, dx, dy, dz = jnp.broadcast_arrays(ox, oy, oz,
-                                                          dx, dy, dz)
-            rr = ox.shape[0]
-            for ci, val in enumerate((ox, oy, oz, dx, dy, dz)):
-                rayin[ci * RS:ci * RS + rr, :] = val
-
-            def body(i, carry):
-                t_c, u_c, v_c, tri_c = carry
-                k = i % n_tri_tiles
-                fresh = k == 0
-                rox = rayin[0 * RS:0 * RS + 1, :]
-                roy = rayin[1 * RS:1 * RS + 1, :]
-                roz = rayin[2 * RS:2 * RS + 1, :]
-                rdx = rayin[3 * RS:3 * RS + 1, :]
-                rdy = rayin[4 * RS:4 * RS + 1, :]
-                rdz = rayin[5 * RS:5 * RS + 1, :]
-                pt = p_ref[pl.ds(k * TT, TT), :]     # (TT, 16)
-
-                def pc(j):
-                    return pt[:, j:j + 1]
-
-                o_n = pc(0) * rox + pc(1) * roy + pc(2) * roz + pc(3)
-                d_n = pc(0) * rdx + pc(1) * rdy + pc(2) * rdz
-                o_u = pc(4) * rox + pc(5) * roy + pc(6) * roz + pc(7)
-                d_u = pc(4) * rdx + pc(5) * rdy + pc(6) * rdz
-                o_v = pc(8) * rox + pc(9) * roy + pc(10) * roz + pc(11)
-                d_v = pc(8) * rdx + pc(9) * rdy + pc(10) * rdz
-
-                okp = jnp.abs(d_n) > 1e-12
-                t = -o_n / jnp.where(okp, d_n, 1.0)
-                uu = o_u + t * d_u
-                vv = o_v + t * d_v
-                hit = okp & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) \
-                    & (t > 1e-4)
-                t = jnp.where(hit, t, _BIG)
-                t_min = jnp.min(t, axis=0, keepdims=True)        # (1, C)
-                at_min = (t == t_min) & (t_min < _BIG)
-                ridx = jnp.min(jnp.where(at_min, row_iota, 2 ** 30),
-                               axis=0, keepdims=True)
-                first = at_min & (row_iota == ridx)
-                u_k = jnp.sum(jnp.where(first, uu, 0.0), axis=0,
-                              keepdims=True)
-                v_k = jnp.sum(jnp.where(first, vv, 0.0), axis=0,
-                              keepdims=True)
-
-                eff_t = jnp.where(fresh, _BIG, t_c)
-                eff_tri = jnp.where(fresh, -1, tri_c)
-                better = t_min < eff_t
-                t_n = jnp.where(better, t_min, eff_t)
-                u_n = jnp.where(better, u_k, jnp.where(fresh, 0.0, u_c))
-                v_n = jnp.where(better, v_k, jnp.where(fresh, 0.0, v_c))
-                tri_n = jnp.where(better, ridx + k * TT, eff_tri)
-
-                @pl.when(k == n_tri_tiles - 1)
-                def _append():
-                    trout[:] = jnp.concatenate(
-                        [trout[1:RS], t_n, trout[RS + 1:2 * RS], u_n,
-                         trout[2 * RS + 1:], v_n], axis=0)
-                    trouti[:] = jnp.concatenate([trouti[1:], tri_n], axis=0)
-                    rayin[:] = jnp.concatenate(
-                        [_rot(rayin[ci * RS:(ci + 1) * RS])
-                         for ci in range(6)], axis=0)
-
-                return t_n, u_n, v_n, tri_n
-
-            z1 = jnp.zeros((1, C), jnp.float32)
-            jax.lax.fori_loop(0, rr * n_tri_tiles, body,
-                              (z1, z1, z1, jnp.zeros((1, C), jnp.int32)),
-                              unroll=False)
-            t = trout[RS - rr:RS, :]
-            u = trout[2 * RS - rr:2 * RS, :]
-            v = trout[3 * RS - rr:3 * RS, :]
-            tri = trouti[RS - rr:RS, :]
-            return t, t < _BIG, u, v, tri
-
-        def _bank_append(pieces):
-            """Rotate-append one (1, C) piece per attribute block of the
-            bank scratch.  All concatenation is along dim 0 (sublanes) —
-            lane-axis concat of row slices with differing sublane offsets
-            does not lower in Mosaic."""
-            segs = []
-            for j in range(NR_MAX):
-                segs.append(bank[j * RS + 1:(j + 1) * RS])
-                segs.append(pieces[j] if j < len(pieces)
-                            else bank[j * RS:j * RS + 1])
-            bank[:] = jnp.concatenate(segs, axis=0)
-
-        def _rows_lookup(table_ref, n_entries, tri_idx, rows):
-            """One-hot MXU fetch of table rows for per-lane ids (R', C);
-            returns {row: (R', C)}; id = -1 fetches zeros.  One frame
-            row's one-hot is live at a time (fori body + rotating bank —
-            see trace VMEM note)."""
-            rr = tri_idx.shape[0]
-            lkin[0:rr, :] = tri_idx
-
-            def body(g, _):
-                idxg = lkin[0:1, :]
-                iota_t = jax.lax.broadcasted_iota(jnp.int32, (n_entries, C), 0)
-                oh = (iota_t == idxg).astype(jnp.float32)
-                at = jnp.dot(table_ref[:], oh,
-                             preferred_element_type=jnp.float32)
-                _bank_append([at[r:r + 1, :] for r in rows])
-                lkin[:] = jnp.concatenate([lkin[1:], lkin[0:1]], axis=0)
-                return 0
-
-            jax.lax.fori_loop(0, rr, body, 0, unroll=False)
-            return {r: bank[j * RS + RS - rr:(j + 1) * RS, :]
-                    for j, r in enumerate(rows)}
+        trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS)
+        _rows_lookup = build_rows_lookup(lkin, bank, C, RS, NR_MAX)
 
         def tri_rows(tri_idx, rows):
             return _rows_lookup(a_ref, T, tri_idx, rows)
 
-        def surf_lookup(tri_idx, u, v):
-            """Hit-surface attributes + interpolated shading normal."""
-            rw = tri_rows(tri_idx, _SURF_ROWS)
-            w = 1.0 - u - v
-            nx = w * rw[_A_N0] + u * rw[_A_N1] + v * rw[_A_N2]
-            ny = w * rw[_A_N0 + 1] + u * rw[_A_N1 + 1] + v * rw[_A_N2 + 1]
-            nz = w * rw[_A_N0 + 2] + u * rw[_A_N1 + 2] + v * rw[_A_N2 + 2]
-            nx, ny, nz = _norm3(nx, ny, nz)
-            return dict(
-                alb=(rw[_A_ALBEDO], rw[_A_ALBEDO + 1], rw[_A_ALBEDO + 2]),
-                em=(rw[_A_EMISSION], rw[_A_EMISSION + 1], rw[_A_EMISSION + 2]),
-                rough=rw[_A_ROUGH], metal=rw[_A_METAL], area=rw[_A_AREA],
-                leaf=rw[_A_LEAF].astype(jnp.int32), nx=nx, ny=ny, nz=nz)
+        surf_lookup = build_surf_lookup(tri_rows)
 
         def scatter(key, surf, vx, vy, vz):
             """Draws + sampler dispatch (render/integrators.py::_scatter)."""
