@@ -1,5 +1,6 @@
-"""Compile + time the ReSTIR DI megakernel on the real TPU (cornell
-256x256, reference-default M=8 candidates, 5 spatial neighbors)."""
+"""Compile + time the ReSTIR DI/GI megakernels on the real TPU (cornell
+256x256, reference-default parameters).  Usage: probe_restir.py [frames]
+[di|gi]"""
 
 import os
 import sys
@@ -14,15 +15,23 @@ import jax.numpy as jnp
 def main():
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 
+    mode = sys.argv[2] if len(sys.argv) > 2 else "di"
+
     from fypraytracer_tpu.config import RenderSettings, SamplingTechnique
     from fypraytracer_tpu.render.megakernel_restir import MegakernelReSTIRDI
+    from fypraytracer_tpu.render.megakernel_restir_gi import MegakernelReSTIRGI
     from fypraytracer_tpu.scene.procedural import cornell_box
 
     builder, cam = cornell_box(width=256, height=256)
     scene = builder.compile()
-    settings = RenderSettings(technique=SamplingTechnique.RESTIR_DI,
-                              sky_color=(0.05, 0.06, 0.08))
-    mk = MegakernelReSTIRDI(scene, cam, settings)
+    if mode == "gi":
+        settings = RenderSettings(technique=SamplingTechnique.RESTIR_GI,
+                                  bounces=2, sky_color=(0.05, 0.06, 0.08))
+        mk = MegakernelReSTIRGI(scene, cam, settings)
+    else:
+        settings = RenderSettings(technique=SamplingTechnique.RESTIR_DI,
+                                  sky_color=(0.05, 0.06, 0.08))
+        mk = MegakernelReSTIRDI(scene, cam, settings)
 
     t0 = time.perf_counter()
     out = mk.render_many(frames)

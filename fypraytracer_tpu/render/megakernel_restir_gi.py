@@ -1,0 +1,617 @@
+"""Fused Pallas ReSTIR GI renderer — two in-program kernels per frame.
+
+Lane-layout megakernel counterpart of render/restir_gi.py (Ouyang et al.
+2021; reference kernels PerPixel_ReSTIR_GI_Part1/2, Renderer.cu:2043-2387)
+with the same estimator semantics as the wavefront path, including its
+documented fixes of the reference's defects (radiance stored WITHOUT the
+visible-point BRDF; W = wsum/(Z·p̂); sky-only first bounces shaded outside
+the reservoir — see render/restir_gi.py docstring).
+
+Structure mirrors render/megakernel_restir.py: stage 1 traces the initial
+BRDF path sample + temporal reuse (same-pixel, static-camera fast path),
+stage 2 does spatial reuse with the path-reconnection Jacobian and a
+visibility re-trace, then shades.  Spatial-neighbor stage windows are two
+lane-aligned HBM tiles + a dynamic ``pltpu.roll``.  Frame loop in the
+surrounding ``fori_loop`` — N frames per dispatch.
+
+Deviations (same as the DI megakernel, documented there): same-pixel
+temporal reuse, frame-shared spatial offsets, raw (non-octahedral)
+normals in the stage/state buffers.
+
+Validated statistically against the BRDF path tracer
+(tests/test_megakernel_restir.py), like the wavefront GI tests.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fypraytracer_tpu.core import rng as host_rng
+from fypraytracer_tpu.render.megakernel import (
+    _NR_MAX,
+    _RS,
+    TRI_TILE,
+    _cook_torrance,
+    _fold,
+    _mixture_sample,
+    _next_uniform,
+    _norm3,
+    _pcg,
+    _pick_ray_lanes,
+    _u32,
+    build_raygen,
+    build_rows_lookup,
+    build_surf_lookup,
+    build_trace,
+    prepare_scene_tables,
+)
+from fypraytracer_tpu.scene.types import Scene
+
+# stage buffer rows (K1 -> K2), HBM layout (G * _GS_ROWS, C)
+_GS_POS = 0      # 0:3   visible point
+_GS_NRM = 3      # 3:6   visible normal
+_GS_ALB = 6      # 6:9
+_GS_ROUGH = 9
+_GS_METAL = 10
+_GS_T = 11
+_GS_SHADE = 12
+_GS_EMIT = 13    # 13:16 primary-hit emission
+_GS_HIT = 16
+_GS_SKY = 17     # 17:20 non-reusable first-bounce sky term (pre-shaded)
+_GS_SP = 20      # 20:23 sample point
+_GS_SN = 23      # 23:26 sample normal
+_GS_RAD = 26     # 26:29 outgoing radiance from the sample point
+_GS_PHAT = 29
+_GS_W = 30
+_GS_M = 31
+_GS_WSUM = 32
+_GS_ROWS = 40
+
+# persistent state rows (K2 -> next K1), (G * _GST_ROWS, C)
+_GT_SP = 0       # 0:3
+_GT_SN = 3       # 3:6
+_GT_RAD = 6      # 6:9
+_GT_PHAT = 9
+_GT_W = 10
+_GT_M = 11
+_GT_WSUM = 12
+_GT_NRM = 13     # 13:16
+_GST_ROWS = 16
+
+_EPS = 1e-12    # ray-origin offset (integrators.ORIGIN_EPS parity)
+
+
+def _gi_res_update(res, cand, weight, count, pdf, u, active):
+    """Streaming PathSample reservoir update (ReSTIR_GI_Reservoir.cu:5-33,
+    restir_gi.reservoir_update parity).  ``res``/``cand`` are dicts with
+    sp/sn/rad 3-tuples; res additionally carries phat/w/m/wsum."""
+    wsum2 = res["wsum"] + jnp.where(active, weight, 0.0)
+    m2 = res["m"] + jnp.where(active, count, 0.0)
+    accept = active & (wsum2 > 0.0) \
+        & (u < weight / jnp.where(wsum2 > 0.0, wsum2, 1.0))
+
+    def sel(a, b):
+        return jnp.where(accept, a, b)
+
+    return dict(
+        sp=tuple(sel(cand["sp"][c], res["sp"][c]) for c in range(3)),
+        sn=tuple(sel(cand["sn"][c], res["sn"][c]) for c in range(3)),
+        rad=tuple(sel(cand["rad"][c], res["rad"][c]) for c in range(3)),
+        phat=sel(pdf, res["phat"]), w=res["w"], m=m2, wsum=wsum2)
+
+
+def _w_of(res):
+    """W = wsum / (M · p̂) (restir_gi._w_of parity)."""
+    p = res["phat"]
+    return jnp.where(p > 0.0,
+                     res["wsum"] / (jnp.maximum(res["m"], 1.0)
+                                    * jnp.where(p > 0.0, p, 1.0)),
+                     0.0)
+
+
+def _rad_norm(rad):
+    return jnp.sqrt(jnp.maximum(
+        rad[0] * rad[0] + rad[1] * rad[1] + rad[2] * rad[2], 0.0))
+
+
+def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
+                              n_frames: int, interpret: bool = False):
+    """Build ``render(cam, P, AT, frame0, state) ->
+    (summed hdr (B, 3), new_state)``."""
+    B = width * height
+    C = _pick_ray_lanes(B)
+    TT = TRI_TILE
+    T = n_tris + ((-n_tris) % TT)
+    G = B // C
+    RS = _RS
+    sky = tuple(float(c) for c in settings.sky_color)
+    bounces = settings.bounces
+    N_NBR = settings.spatial_neighbors
+    radius = float(settings.spatial_radius)
+    hist = float(settings.temporal_history_limit)
+    use_temporal = settings.temporal_reuse
+    use_spatial = settings.spatial_reuse
+
+    # ------------------------------------------------------------------ K1
+    def k1(cam_ref, frame_ref, p_ref, a_ref, state_ref, stage_ref,
+           rayin, trout, trouti, lkin, bank):
+        tile = pl.program_id(0)
+        cam = cam_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+        pix = tile * C + lane
+        ox, oy, oz, dx, dy, dz = build_raygen(cam, width, height)(pix)
+
+        trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS)
+        rows_lookup = build_rows_lookup(lkin, bank, C, RS, _NR_MAX)
+        surf_lookup = build_surf_lookup(
+            lambda idx, rows: rows_lookup(a_ref, T, idx, rows))
+
+        t0, hit0, u0, v0, tri0 = trace(ox, oy, oz, dx, dy, dz)
+        surf0 = surf_lookup(tri0, u0, v0)
+        em0 = surf0["em"]
+        prim_emissive = hit0 & ((em0[0] * em0[0] + em0[1] * em0[1]
+                                 + em0[2] * em0[2]) > 0.0)
+        shade = hit0 & ~prim_emissive
+        px_ = ox + dx * t0
+        py_ = oy + dy * t0
+        pz_ = oz + dz * t0
+        nx, ny, nz = surf0["nx"], surf0["ny"], surf0["nz"]
+        vx, vy, vz = -dx, -dy, -dz
+
+        frame = frame_ref[0, 0].astype(jnp.uint32)
+        key = _pcg(pix.astype(jnp.uint32))
+        key = _fold(key, frame)
+        key = _fold(key, _u32(0))
+        key = _fold(key, _u32(8001))
+
+        # ---- initial BRDF path sample (restir_gi._trace_sample_path) ----
+        key, u_sel = _next_uniform(key)
+        key, u1 = _next_uniform(key)
+        key, u2 = _next_uniform(key)
+        sx, sy, sz, pdf0 = _mixture_sample(u_sel, u1, u2, nx, ny, nz,
+                                           vx, vy, vz, surf0["alb"],
+                                           surf0["rough"], surf0["metal"])
+        f0 = _cook_torrance(nx, ny, nz, vx, vy, vz, sx, sy, sz,
+                            surf0["alb"], surf0["rough"], surf0["metal"])
+        cos0 = jnp.maximum(sx * nx + sy * ny + sz * nz, 0.0)
+
+        t1, hit1, uu1, vv1, tri1 = trace(px_ + nx * _EPS, py_ + ny * _EPS,
+                                         pz_ + nz * _EPS, sx, sy, sz)
+        surf1 = surf_lookup(tri1, uu1, vv1)
+        reconnect = hit1 & (pdf0 > 0.0)
+
+        # sky contribution of non-reusable paths, shaded now
+        fterm = cos0 / jnp.maximum(pdf0, 1e-12)
+        sky_direct = tuple(
+            jnp.where(~hit1 & (pdf0 > 0.0), f0[c] * fterm * sky[c], 0.0)
+            for c in range(3))
+
+        spx = px_ + nx * _EPS + sx * t1
+        spy = py_ + ny * _EPS + sy * t1
+        spz = pz_ + nz * _EPS + sz * t1
+
+        # path continues from the sample point with unit throughput
+        rad = [jnp.zeros((1, C), jnp.float32) for _ in range(3)]
+        em1 = surf1["em"]
+        em1_hit = (em1[0] * em1[0] + em1[1] * em1[1]
+                   + em1[2] * em1[2]) > 0.0
+        active = reconnect
+        for c in range(3):
+            rad[c] = rad[c] + jnp.where(active & em1_hit, em1[c], 0.0)
+        active = active & ~em1_hit
+
+        if bounces > 1:
+            zc = jnp.zeros((1, C), jnp.float32)
+
+            def bounce_body(_b, st):
+                (key, act_f, thr, rad, surf, hx, hy, hz,
+                 cdx, cdy, cdz) = st
+                act = act_f > 0.5
+                bvx, bvy, bvz = -cdx, -cdy, -cdz
+                bnx, bny, bnz = surf["nx"], surf["ny"], surf["nz"]
+                key, s1 = _next_uniform(key)
+                key, s2 = _next_uniform(key)
+                key, s3 = _next_uniform(key)
+                lx, ly, lz, pdf = _mixture_sample(
+                    s1, s2, s3, bnx, bny, bnz, bvx, bvy, bvz,
+                    surf["alb"], surf["rough"], surf["metal"])
+                f = _cook_torrance(bnx, bny, bnz, bvx, bvy, bvz, lx, ly, lz,
+                                   surf["alb"], surf["rough"], surf["metal"])
+                cos_t = jnp.maximum(lx * bnx + ly * bny + lz * bnz, 0.0)
+                ok = pdf > 0.0
+                scale = cos_t / jnp.maximum(pdf, 1e-12)
+                thr = tuple(thr[c] * f[c] * scale for c in range(3))
+                act = act & ok
+
+                nox = hx + bnx * _EPS
+                noy = hy + bny * _EPS
+                noz = hz + bnz * _EPS
+                t, hit, uu, vv, tri = trace(nox, noy, noz, lx, ly, lz)
+                surf2 = surf_lookup(tri, uu, vv)
+                miss = ~hit
+                rad = tuple(rad[c] + jnp.where(act & miss,
+                                               thr[c] * sky[c], 0.0)
+                            for c in range(3))
+                act = act & hit
+                em = surf2["em"]
+                em_hit = (em[0] * em[0] + em[1] * em[1]
+                          + em[2] * em[2]) > 0.0
+                rad = tuple(rad[c] + jnp.where(act & em_hit,
+                                               thr[c] * em[c], 0.0)
+                            for c in range(3))
+                act = act & ~em_hit
+                surf_n = dict(nx=surf2["nx"], ny=surf2["ny"], nz=surf2["nz"],
+                              alb=surf2["alb"], rough=surf2["rough"],
+                              metal=surf2["metal"])
+                return (key, act.astype(jnp.float32), thr, rad, surf_n,
+                        nox + lx * t, noy + ly * t, noz + lz * t,
+                        lx, ly, lz)
+
+            surf1c = dict(nx=surf1["nx"], ny=surf1["ny"], nz=surf1["nz"],
+                          alb=surf1["alb"], rough=surf1["rough"],
+                          metal=surf1["metal"])
+            st = jax.lax.fori_loop(
+                0, bounces - 1, bounce_body,
+                (key, active.astype(jnp.float32),
+                 (zc + 1.0, zc + 1.0, zc + 1.0), tuple(rad), surf1c,
+                 spx, spy, spz, sx, sy, sz), unroll=False)
+            key, rad = st[0], list(st[3])
+
+        rad = [jnp.where(reconnect, rad[c], 0.0) for c in range(3)]
+        src_pdf = jnp.where(reconnect, pdf0, 0.0)
+        sample = dict(sp=(spx, spy, spz),
+                      sn=(surf1["nx"], surf1["ny"], surf1["nz"]),
+                      rad=tuple(rad))
+
+        p_hat = _rad_norm(rad)
+        z1 = jnp.zeros((1, C), jnp.float32)
+        res = dict(sp=(z1,) * 3, sn=(z1,) * 3, rad=(z1,) * 3,
+                   phat=z1, w=z1, m=z1, wsum=z1)
+        key, u0_ = _next_uniform(key)
+        w_ris = jnp.where(src_pdf > 0.0,
+                          p_hat / jnp.maximum(src_pdf, 1e-12), 0.0)
+        res = _gi_res_update(res, sample, w_ris, 1.0, p_hat, u0_, shade)
+        res["w"] = _w_of(res)
+
+        if use_temporal:
+            st_ = state_ref[:]      # (_GST_ROWS, C) tile-local (static cam)
+
+            def srow(r):
+                return st_[r:r + 1, :]
+
+            prev = dict(sp=(srow(_GT_SP), srow(_GT_SP + 1), srow(_GT_SP + 2)),
+                        sn=(srow(_GT_SN), srow(_GT_SN + 1), srow(_GT_SN + 2)),
+                        rad=(srow(_GT_RAD), srow(_GT_RAD + 1),
+                             srow(_GT_RAD + 2)),
+                        phat=srow(_GT_PHAT), w=srow(_GT_W), m=srow(_GT_M),
+                        wsum=srow(_GT_WSUM))
+            pn = (srow(_GT_NRM), srow(_GT_NRM + 1), srow(_GT_NRM + 2))
+            valid = ((pn[0] * nx + pn[1] * ny + pn[2] * nz) >= 0.99) \
+                & (prev["m"] > 0.0) & shade
+            cap = hist * jnp.maximum(res["m"], 1.0)
+            prev_m = jnp.minimum(prev["m"], cap)
+            key, ut = _next_uniform(key)
+            merged = _gi_res_update(res, prev,
+                                    prev["phat"] * prev["w"] * prev_m,
+                                    prev_m, prev["phat"], ut, valid)
+            merged["w"] = _w_of(merged)
+
+            def vsel(a, b):
+                return jnp.where(valid, a, b)
+
+            res = dict(
+                sp=tuple(vsel(merged["sp"][c], res["sp"][c])
+                         for c in range(3)),
+                sn=tuple(vsel(merged["sn"][c], res["sn"][c])
+                         for c in range(3)),
+                rad=tuple(vsel(merged["rad"][c], res["rad"][c])
+                          for c in range(3)),
+                phat=vsel(merged["phat"], res["phat"]),
+                w=vsel(merged["w"], res["w"]),
+                m=vsel(merged["m"], res["m"]),
+                wsum=vsel(merged["wsum"], res["wsum"]))
+
+        # row order must follow the _GS_* indices (dim-0 concat only)
+        stage_ref[:] = jnp.concatenate([
+            px_, py_, pz_,                                    # _GS_POS
+            nx, ny, nz,                                       # _GS_NRM
+            surf0["alb"][0], surf0["alb"][1], surf0["alb"][2],
+            surf0["rough"], surf0["metal"],
+            jnp.where(hit0, t0, -1.0),                        # _GS_T
+            shade.astype(jnp.float32),
+            em0[0], em0[1], em0[2],                           # _GS_EMIT
+            hit0.astype(jnp.float32),
+            sky_direct[0], sky_direct[1], sky_direct[2],      # _GS_SKY
+            res["sp"][0], res["sp"][1], res["sp"][2],         # _GS_SP
+            res["sn"][0], res["sn"][1], res["sn"][2],         # _GS_SN
+            res["rad"][0], res["rad"][1], res["rad"][2],      # _GS_RAD
+            res["phat"], res["w"], res["m"], res["wsum"],
+            jnp.zeros((_GS_ROWS - 33, C), jnp.float32),       # pad
+        ], axis=0)
+
+    # ------------------------------------------------------------------ K2
+    def k2(cam_ref, frame_ref, offs_ref, p_ref, stage_full_ref,
+           hdr_ref, state_ref, rayin, trout, trouti, lkin, bank,
+           win0, win1, dma_sem):
+        tile = pl.program_id(0)
+        cam = cam_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+        pix = tile * C + lane
+        px_i = pix % width
+        py_i = pix // width
+        trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS)
+
+        def read_stage(q, win):
+            dma = pltpu.make_async_copy(
+                stage_full_ref.at[pl.ds(q * _GS_ROWS, _GS_ROWS), :], win,
+                dma_sem)
+            dma.start()
+            dma.wait()
+            return win[:]
+
+        own = read_stage(tile, win0)
+
+        def row(r):
+            return own[r:r + 1, :]
+
+        pxp, pyp, pzp = row(_GS_POS), row(_GS_POS + 1), row(_GS_POS + 2)
+        nx, ny, nz = row(_GS_NRM), row(_GS_NRM + 1), row(_GS_NRM + 2)
+        alb = (row(_GS_ALB), row(_GS_ALB + 1), row(_GS_ALB + 2))
+        rough = row(_GS_ROUGH)
+        metal = row(_GS_METAL)
+        shade = row(_GS_SHADE) > 0.5
+        t_own = row(_GS_T)
+        own_hit = row(_GS_HIT)
+        own_emit = (row(_GS_EMIT), row(_GS_EMIT + 1), row(_GS_EMIT + 2))
+        sky_direct = (row(_GS_SKY), row(_GS_SKY + 1), row(_GS_SKY + 2))
+        res = dict(sp=(row(_GS_SP), row(_GS_SP + 1), row(_GS_SP + 2)),
+                   sn=(row(_GS_SN), row(_GS_SN + 1), row(_GS_SN + 2)),
+                   rad=(row(_GS_RAD), row(_GS_RAD + 1), row(_GS_RAD + 2)),
+                   phat=row(_GS_PHAT), w=row(_GS_W), m=row(_GS_M),
+                   wsum=row(_GS_WSUM))
+
+        ox, oy, oz, dx, dy, dz = build_raygen(cam, width, height)(pix)
+        vx, vy, vz = -dx, -dy, -dz
+
+        frame = frame_ref[0, 0].astype(jnp.uint32)
+        key = _pcg(pix.astype(jnp.uint32))
+        key = _fold(key, frame)
+        key = _fold(key, _u32(0))
+        key = _fold(key, _u32(8002))
+
+        if use_spatial and N_NBR > 0:
+            z = jnp.where(shade, res["m"], 0.0)
+            for nidx in range(N_NBR):
+                d_x = offs_ref[nidx, 0]
+                d_y = offs_ref[nidx, 1]
+                off = d_y * width + d_x
+                s = tile * C + off
+                sc = jnp.clip(s, 0, B - C)
+                q0 = sc // C
+                r_sh = sc - q0 * C
+                q1 = jnp.minimum(q0 + 1, G - 1)
+                b0 = pltpu.roll(read_stage(q0, win0), (C - r_sh) % C, axis=1)
+                b1 = pltpu.roll(read_stage(q1, win1), (C - r_sh) % C, axis=1)
+                nb = jnp.where(lane < C - r_sh, b0, b1)
+
+                ox_i = px_i + d_x
+                oy_i = py_i + d_y
+                in_img = (ox_i >= 0) & (ox_i < width) & (oy_i >= 0) \
+                    & (oy_i < height)
+                intended = s == sc
+
+                def nrow(r):
+                    return nb[r:r + 1, :]
+
+                n_t = nrow(_GS_T)
+                depth_ok = (n_t <= 1.1 * t_own) & (n_t >= 0.9 * t_own)
+                normal_ok = (nrow(_GS_NRM) * nx + nrow(_GS_NRM + 1) * ny
+                             + nrow(_GS_NRM + 2) * nz) >= 0.906
+                ok = shade & in_img & intended & depth_ok & normal_ok \
+                    & (nrow(_GS_SHADE) > 0.5) & (nrow(_GS_M) > 0.0)
+
+                ns = dict(sp=(nrow(_GS_SP), nrow(_GS_SP + 1),
+                              nrow(_GS_SP + 2)),
+                          sn=(nrow(_GS_SN), nrow(_GS_SN + 1),
+                              nrow(_GS_SN + 2)),
+                          rad=(nrow(_GS_RAD), nrow(_GS_RAD + 1),
+                               nrow(_GS_RAD + 2)))
+                nb_w = nrow(_GS_W)
+                nb_m = nrow(_GS_M)
+
+                # Jacobian of path reconnection (eq. 11, Renderer.cu:
+                # 2343-2353): neighbor's visible point vs ours
+                dqx = nrow(_GS_POS) - ns["sp"][0]
+                dqy = nrow(_GS_POS + 1) - ns["sp"][1]
+                dqz = nrow(_GS_POS + 2) - ns["sp"][2]
+                drx = pxp - ns["sp"][0]
+                dry = pyp - ns["sp"][1]
+                drz = pzp - ns["sp"][2]
+                dist_q = jnp.sqrt(jnp.maximum(
+                    dqx * dqx + dqy * dqy + dqz * dqz, 1e-20))
+                dist_r = jnp.sqrt(jnp.maximum(
+                    drx * drx + dry * dry + drz * drz, 1e-20))
+                cos_q = (ns["sn"][0] * dqx + ns["sn"][1] * dqy
+                         + ns["sn"][2] * dqz) / dist_q
+                cos_r = (ns["sn"][0] * drx + ns["sn"][1] * dry
+                         + ns["sn"][2] * drz) / dist_r
+                jac = jnp.where(cos_q > 0.0,
+                                cos_r / jnp.maximum(cos_q, 1e-12), 0.0) \
+                    * (dist_q * dist_q) / jnp.maximum(dist_r * dist_r, 1e-20)
+                p_n = jnp.where(jac > 0.0,
+                                _rad_norm(ns["rad"])
+                                / jnp.maximum(jac, 1e-12), 0.0)
+
+                # visibility re-trace: neighbor sample point -> our
+                # visible point (Renderer.cu:2356-2366)
+                vdx, vdy, vdz = drx / dist_r, dry / dist_r, drz / dist_r
+                tv, _, _, _, _ = trace(ns["sp"][0] + ns["sn"][0] * _EPS,
+                                       ns["sp"][1] + ns["sn"][1] * _EPS,
+                                       ns["sp"][2] + ns["sn"][2] * _EPS,
+                                       vdx, vdy, vdz)
+                tol = jnp.maximum(1e-4, dist_r * 1e-3)
+                visible = jnp.abs(tv - dist_r) <= tol
+                p_n = jnp.where(visible, p_n, 0.0)
+
+                z = z + jnp.where(ok, nb_m, 0.0)
+                key, u_acc = _next_uniform(key)
+                res = _gi_res_update(res, ns, p_n * nb_w * nb_m, nb_m,
+                                     p_n, u_acc, ok)
+
+            # paper eq. 7 with Z (restir_gi parity)
+            p_sel = res["phat"]
+            res["w"] = jnp.where(
+                p_sel > 0.0,
+                res["wsum"] / (jnp.maximum(z, 1.0)
+                               * jnp.where(p_sel > 0.0, p_sel, 1.0)),
+                0.0)
+
+        # ---- shade (restir_gi._shade parity) -------------------------------
+        tsx = res["sp"][0] - pxp
+        tsy = res["sp"][1] - pyp
+        tsz = res["sp"][2] - pzp
+        dist = jnp.sqrt(jnp.maximum(tsx * tsx + tsy * tsy + tsz * tsz,
+                                    1e-20))
+        sdx, sdy, sdz = tsx / dist, tsy / dist, tsz / dist
+        f = _cook_torrance(nx, ny, nz, vx, vy, vz, sdx, sdy, sdz,
+                           alb, rough, metal)
+        cos_t = jnp.maximum(sdx * nx + sdy * ny + sdz * nz, 0.0)
+        lane_ok = shade & (res["w"] > 0.0)
+
+        miss = own_hit < 0.5
+        prim_em = (~shade) & ~miss
+        rows_hdr = []
+        for c in range(3):
+            gi = jnp.where(lane_ok,
+                           f[c] * cos_t * res["w"] * res["rad"][c], 0.0)
+            v = gi + jnp.where(shade, sky_direct[c], 0.0)
+            v = jnp.where(miss, sky[c], v)
+            v = jnp.where(prim_em, own_emit[c], v)
+            rows_hdr.append(v)
+        hdr_ref[:] = jnp.concatenate(
+            rows_hdr + [jnp.zeros((5, C), jnp.float32)], axis=0)
+
+        state_ref[:] = jnp.concatenate([
+            res["sp"][0], res["sp"][1], res["sp"][2],
+            res["sn"][0], res["sn"][1], res["sn"][2],
+            res["rad"][0], res["rad"][1], res["rad"][2],
+            res["phat"], res["w"], res["m"], res["wsum"],
+            nx, ny, nz,
+        ], axis=0)
+
+    # ------------------------------------------------------------- driver
+    grid = (G,)
+    full = lambda i: (0, 0)
+    blocked = lambda rows: pl.BlockSpec((rows, C), lambda i: (i, 0),
+                                        memory_space=pltpu.VMEM)
+    scratches = [
+        pltpu.VMEM((6 * RS, C), jnp.float32),        # rayin
+        pltpu.VMEM((3 * RS, C), jnp.float32),        # trout
+        pltpu.VMEM((RS, C), jnp.int32),              # trouti
+        pltpu.VMEM((RS, C), jnp.int32),              # lkin
+        pltpu.VMEM((_NR_MAX * RS, C), jnp.float32),  # bank
+    ]
+
+    def k1_call(cam, frame_arr, P, AT, state):
+        return pl.pallas_call(
+            k1, grid=grid,
+            in_specs=[
+                pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
+                pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((32, T), full, memory_space=pltpu.VMEM),
+                blocked(_GST_ROWS),
+            ],
+            out_specs=blocked(_GS_ROWS),
+            out_shape=jax.ShapeDtypeStruct((G * _GS_ROWS, C), jnp.float32),
+            scratch_shapes=list(scratches),
+            interpret=interpret,
+        )(cam, frame_arr, P, AT, state)
+
+    def k2_call(cam, frame_arr, offs, P, stage):
+        return pl.pallas_call(
+            k2, grid=grid,
+            in_specs=[
+                pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
+                pl.BlockSpec((max(N_NBR, 1), 2), full,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),   # stage stays in HBM
+            ],
+            out_specs=[blocked(8), blocked(_GST_ROWS)],
+            out_shape=[jax.ShapeDtypeStruct((G * 8, C), jnp.float32),
+                       jax.ShapeDtypeStruct((G * _GST_ROWS, C),
+                                            jnp.float32)],
+            scratch_shapes=list(scratches) + [
+                pltpu.VMEM((_GS_ROWS, C), jnp.float32),   # win0
+                pltpu.VMEM((_GS_ROWS, C), jnp.float32),   # win1
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(cam, frame_arr, offs, P, stage)
+
+    @jax.jit
+    def render(cam, P, AT, frame0, state):
+        def body(fi, carry):
+            accum, st = carry
+            frame = (frame0 + fi).astype(jnp.uint32)
+            frame_arr = frame.reshape(1, 1).astype(jnp.int32)
+            stage = k1_call(cam, frame_arr, P, AT, st)
+            okey = host_rng.path_key(jnp.uint32(0xD1CE), frame, 0,
+                                     stream=8002)
+            offs = []
+            for _ in range(max(N_NBR, 1)):
+                okey, ux = host_rng.next_uniform(okey)
+                okey, uy = host_rng.next_uniform(okey)
+                offs.append(((ux * 2.0 - 1.0) * radius).astype(jnp.int32))
+                offs.append(((uy * 2.0 - 1.0) * radius).astype(jnp.int32))
+            offs = jnp.stack(offs).reshape(max(N_NBR, 1), 2)
+            hdr, st2 = k2_call(cam, frame_arr, offs, P, stage)
+            return accum + hdr, st2
+
+        accum0 = jnp.zeros((G * 8, C), jnp.float32)
+        accum, state = jax.lax.fori_loop(0, n_frames, body, (accum0, state))
+        hdr = accum.reshape(G, 8, C)[:, :3, :].transpose(0, 2, 1)
+        return hdr.reshape(B, 3), state
+
+    return render
+
+
+class MegakernelReSTIRGI:
+    """Offline static-camera ReSTIR GI fast path."""
+
+    def __init__(self, scene: Scene, camera, settings, interpret: bool = False):
+        self.scene = jax.tree_util.tree_map(jnp.asarray, scene)
+        self.camera = camera
+        self.settings = settings
+        self.interpret = interpret
+        self.frame_index = 1
+        self.tables = prepare_scene_tables(self.scene)
+        B = camera.width * camera.height
+        C = _pick_ray_lanes(B)
+        self.state = jnp.zeros((B // C * _GST_ROWS, C), jnp.float32)
+        self.accum = jnp.zeros((B, 3), jnp.float32)
+        self._cache = {}
+
+    def _renderer(self, n_frames):
+        if n_frames not in self._cache:
+            self._cache[n_frames] = make_restir_gi_megakernel(
+                self.camera.width, self.camera.height, self.settings,
+                self.scene.geometry.tri_v.shape[0], n_frames,
+                interpret=self.interpret)
+        return self._cache[n_frames]
+
+    def render_many(self, n_frames):
+        cam = jnp.concatenate([jnp.asarray(self.camera.inv_projection),
+                               jnp.asarray(self.camera.inv_view)], axis=0)
+        P, AT = self.tables
+        summed, self.state = self._renderer(n_frames)(
+            cam, P, AT, jnp.uint32(self.frame_index), self.state)
+        self.accum = self.accum + summed
+        self.frame_index += n_frames
+        h, w = self.camera.height, self.camera.width
+        return (self.accum / jnp.float32(self.frame_index - 1)).reshape(h, w, 3)

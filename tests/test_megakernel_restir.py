@@ -42,3 +42,39 @@ def test_megakernel_restir_di_batches_continue_state():
     assert np.isfinite(b).all()
     # accumulation average changes but stays in the same regime
     assert abs(b.mean() - a.mean()) / max(a.mean(), 1e-9) < 0.3
+
+
+def test_megakernel_restir_gi_unbiased_vs_brdf_path():
+    from fypraytracer_tpu.oracle.cpu_renderer import accumulate_oracle
+    from fypraytracer_tpu.render.megakernel_restir_gi import MegakernelReSTIRGI
+
+    builder, cam = cornell_box(width=32, height=32, with_spheres=False)
+    scene = builder.compile()
+    settings = RenderSettings(technique=SamplingTechnique.RESTIR_GI,
+                              bounces=2, spatial_neighbors=3,
+                              spatial_radius=8)
+    frames = 50
+    mk = MegakernelReSTIRGI(scene, cam, settings, interpret=True)
+    avg = np.asarray(mk.render_many(frames))
+    assert np.isfinite(avg).all()
+
+    ref = accumulate_oracle(scene, cam, RenderSettings(
+        technique=SamplingTechnique.BRDF, bounces=2, samples=4), frames)
+    rel = abs(avg.mean() - ref.mean()) / max(ref.mean(), 1e-9)
+    assert rel < 0.06, (avg.mean(), ref.mean())
+
+
+def test_megakernel_restir_gi_state_carry():
+    from fypraytracer_tpu.render.megakernel_restir_gi import MegakernelReSTIRGI
+
+    builder, cam = cornell_box(width=32, height=32, with_spheres=False)
+    scene = builder.compile()
+    settings = RenderSettings(technique=SamplingTechnique.RESTIR_GI,
+                              bounces=2, spatial_neighbors=2,
+                              spatial_radius=6)
+    mk = MegakernelReSTIRGI(scene, cam, settings, interpret=True)
+    a = np.asarray(mk.render_many(4))
+    b = np.asarray(mk.render_many(4))
+    assert mk.frame_index == 9
+    assert np.isfinite(b).all()
+    assert abs(b.mean() - a.mean()) / max(a.mean(), 1e-9) < 0.3
