@@ -24,9 +24,16 @@ def main():
 
     builder, cam = cornell_box(width=256, height=256)
     scene = builder.compile()
+    spatial = os.environ.get("PROBE_SPATIAL", "1") == "1"
+    temporal = os.environ.get("PROBE_TEMPORAL", "1") == "1"
+    bounces = int(os.environ.get("PROBE_BOUNCES", "2"))
+    nbrs = int(os.environ.get("PROBE_NBRS", "5"))
     if mode == "gi":
         settings = RenderSettings(technique=SamplingTechnique.RESTIR_GI,
-                                  bounces=2, sky_color=(0.05, 0.06, 0.08))
+                                  bounces=bounces, spatial_reuse=spatial,
+                                  temporal_reuse=temporal,
+                                  spatial_neighbors=nbrs,
+                                  sky_color=(0.05, 0.06, 0.08))
         mk = MegakernelReSTIRGI(scene, cam, settings)
     else:
         settings = RenderSettings(technique=SamplingTechnique.RESTIR_DI,

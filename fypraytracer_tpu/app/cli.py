@@ -66,21 +66,32 @@ def _render_run(scene, cam, settings, frames=None, seconds=None, impl="auto"):
     """Accumulate frames; returns (avg_hdr, frames, avg_frame_ms).
 
     ``impl``: 'auto' | 'wavefront' | 'megakernel' — megakernel is the fast
-    fused path for untextured hemisphere/NEE configs (render/megakernel.py)
-    and requires a frame budget (``frames``).
+    fused path for untextured configs (render/megakernel.py for the
+    hemisphere family + NEE, render/megakernel_restir{,_gi}.py for
+    ReSTIR DI/GI) and requires a frame budget (``frames``).
     """
     from fypraytracer_tpu.render.renderer import Renderer
 
+    tech = int(settings.technique)
     use_mk = impl == "megakernel" or (
         impl == "auto" and frames is not None and frames >= 16
-        and int(settings.technique) in (0, 1, 2, 3, 4, 6)
+        and tech in (0, 1, 2, 3, 4, 6, 7, 8)
         and len(getattr(scene.textures, "pages", [])) <= 1
-        and (cam.width * cam.height) % 256 == 0)
+        and (cam.width * cam.height) % 128 == 0)
     if use_mk:
         try:
-            from fypraytracer_tpu.render.megakernel import MegakernelRenderer
-
-            mk = MegakernelRenderer(scene, cam, settings)
+            if tech == 7:      # RESTIR_DI
+                from fypraytracer_tpu.render.megakernel_restir import (
+                    MegakernelReSTIRDI)
+                mk = MegakernelReSTIRDI(scene, cam, settings)
+            elif tech == 8:    # RESTIR_GI
+                from fypraytracer_tpu.render.megakernel_restir_gi import (
+                    MegakernelReSTIRGI)
+                mk = MegakernelReSTIRGI(scene, cam, settings)
+            else:
+                from fypraytracer_tpu.render.megakernel import (
+                    MegakernelRenderer)
+                mk = MegakernelRenderer(scene, cam, settings)
             np.asarray(mk.render_many(frames))  # batch 1: compile + frames
             t0 = time.perf_counter()
             avg = np.asarray(mk.render_many(frames))  # batch 2: timed

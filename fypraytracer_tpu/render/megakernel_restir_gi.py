@@ -333,16 +333,33 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
         ], axis=0)
 
     # ------------------------------------------------------------------ K2
-    def k2(cam_ref, frame_ref, offs_ref, p_ref, stage_full_ref,
-           hdr_ref, state_ref, rayin, trout, trouti, lkin, bank,
-           win0, win1, dma_sem):
+    # K2 is SPLIT: K2a does the neighbor-window DMAs + reconnection math
+    # (straight-line, no loops), K2b does the batched visibility trace +
+    # reservoir merges + shade (loops, no DMAs).  Measured: fori_loop
+    # iterations cost ~1.7 us in a kernel that also issues manual DMAs vs
+    # ~0.3 us without (PERF.md) — keeping the trace loops and the DMAs in
+    # separate kernels recovers the fast loops.
+
+    # per-neighbor nbuf rows (K2a -> K2b), blocks of _NB_ROWS per neighbor
+    _NB_O = 0      # 0:3  visibility-ray origin
+    _NB_D = 3      # 3:6  visibility-ray direction
+    _NB_DIST = 6   # |sample point -> our visible point|
+    _NB_PN = 7     # p̂ after Jacobian (pre-visibility)
+    _NB_OK = 8     # geometric acceptance
+    _NB_W = 9
+    _NB_M = 10
+    _NB_SP = 11    # 11:14
+    _NB_SN = 14    # 14:17
+    _NB_RAD = 17   # 17:20
+    _NB_ROWS = 24
+
+    def k2a(offs_ref, own_ref, stage_full_ref, nbuf_ref, win0, win1,
+            dma_sem):
         tile = pl.program_id(0)
-        cam = cam_ref[:]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
         pix = tile * C + lane
         px_i = pix % width
         py_i = pix // width
-        trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS)
 
         def read_stage(q, win):
             dma = pltpu.make_async_copy(
@@ -352,10 +369,95 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
             dma.wait()
             return win[:]
 
-        own = read_stage(tile, win0)
+        def row(r):
+            return own_ref[r:r + 1, :]
+
+        pxp, pyp, pzp = row(_GS_POS), row(_GS_POS + 1), row(_GS_POS + 2)
+        nx, ny, nz = row(_GS_NRM), row(_GS_NRM + 1), row(_GS_NRM + 2)
+        shade = row(_GS_SHADE) > 0.5
+        t_own = row(_GS_T)
+
+        blocks = []
+        for nidx in range(N_NBR):
+            d_x = offs_ref[nidx, 0]
+            d_y = offs_ref[nidx, 1]
+            off = d_y * width + d_x
+            s = tile * C + off
+            sc = jnp.clip(s, 0, B - C)
+            q0 = sc // C
+            r_sh = sc - q0 * C
+            q1 = jnp.minimum(q0 + 1, G - 1)
+            b0 = pltpu.roll(read_stage(q0, win0), (C - r_sh) % C, axis=1)
+            b1 = pltpu.roll(read_stage(q1, win1), (C - r_sh) % C, axis=1)
+            nb = jnp.where(lane < C - r_sh, b0, b1)
+
+            ox_i = px_i + d_x
+            oy_i = py_i + d_y
+            in_img = (ox_i >= 0) & (ox_i < width) & (oy_i >= 0) \
+                & (oy_i < height)
+            intended = s == sc
+
+            def nrow(r):
+                return nb[r:r + 1, :]
+
+            n_t = nrow(_GS_T)
+            depth_ok = (n_t <= 1.1 * t_own) & (n_t >= 0.9 * t_own)
+            normal_ok = (nrow(_GS_NRM) * nx + nrow(_GS_NRM + 1) * ny
+                         + nrow(_GS_NRM + 2) * nz) >= 0.906
+            ok = shade & in_img & intended & depth_ok & normal_ok \
+                & (nrow(_GS_SHADE) > 0.5) & (nrow(_GS_M) > 0.0)
+
+            spn = (nrow(_GS_SP), nrow(_GS_SP + 1), nrow(_GS_SP + 2))
+            snn = (nrow(_GS_SN), nrow(_GS_SN + 1), nrow(_GS_SN + 2))
+            radn = (nrow(_GS_RAD), nrow(_GS_RAD + 1), nrow(_GS_RAD + 2))
+
+            # Jacobian of path reconnection (eq. 11, Renderer.cu:2343-2353)
+            dqx = nrow(_GS_POS) - spn[0]
+            dqy = nrow(_GS_POS + 1) - spn[1]
+            dqz = nrow(_GS_POS + 2) - spn[2]
+            drx = pxp - spn[0]
+            dry = pyp - spn[1]
+            drz = pzp - spn[2]
+            dist_q = jnp.sqrt(jnp.maximum(
+                dqx * dqx + dqy * dqy + dqz * dqz, 1e-20))
+            dist_r = jnp.sqrt(jnp.maximum(
+                drx * drx + dry * dry + drz * drz, 1e-20))
+            cos_q = (snn[0] * dqx + snn[1] * dqy + snn[2] * dqz) / dist_q
+            cos_r = (snn[0] * drx + snn[1] * dry + snn[2] * drz) / dist_r
+            jac = jnp.where(cos_q > 0.0,
+                            cos_r / jnp.maximum(cos_q, 1e-12), 0.0) \
+                * (dist_q * dist_q) / jnp.maximum(dist_r * dist_r, 1e-20)
+            p_n = jnp.where(jac > 0.0,
+                            _rad_norm(radn) / jnp.maximum(jac, 1e-12), 0.0)
+
+            blocks.extend([
+                spn[0] + snn[0] * _EPS, spn[1] + snn[1] * _EPS,
+                spn[2] + snn[2] * _EPS,                       # _NB_O
+                drx / dist_r, dry / dist_r, drz / dist_r,     # _NB_D
+                dist_r, p_n, ok.astype(jnp.float32),
+                nrow(_GS_W), nrow(_GS_M),
+                spn[0], spn[1], spn[2],
+                snn[0], snn[1], snn[2],
+                radn[0], radn[1], radn[2],
+                jnp.zeros((_NB_ROWS - 20, C), jnp.float32),
+            ])
+        nbuf_ref[:] = jnp.concatenate(blocks, axis=0)
+
+    def k2b(*refs):
+        if use_spatial and N_NBR > 0:
+            (cam_ref, frame_ref, p_ref, own_ref, nbuf_ref,
+             hdr_ref, state_ref, rayin, trout, trouti, lkin, bank) = refs
+        else:
+            (cam_ref, frame_ref, p_ref, own_ref,
+             hdr_ref, state_ref, rayin, trout, trouti, lkin, bank) = refs
+        tile = pl.program_id(0)
+        cam = cam_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+        pix = tile * C + lane
+        trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS)
 
         def row(r):
-            return own[r:r + 1, :]
+            return own_ref[r:r + 1, :]
 
         pxp, pyp, pzp = row(_GS_POS), row(_GS_POS + 1), row(_GS_POS + 2)
         nx, ny, nz = row(_GS_NRM), row(_GS_NRM + 1), row(_GS_NRM + 2)
@@ -363,7 +465,6 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
         rough = row(_GS_ROUGH)
         metal = row(_GS_METAL)
         shade = row(_GS_SHADE) > 0.5
-        t_own = row(_GS_T)
         own_hit = row(_GS_HIT)
         own_emit = (row(_GS_EMIT), row(_GS_EMIT + 1), row(_GS_EMIT + 2))
         sky_direct = (row(_GS_SKY), row(_GS_SKY + 1), row(_GS_SKY + 2))
@@ -383,83 +484,38 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
         key = _fold(key, _u32(8002))
 
         if use_spatial and N_NBR > 0:
+            def nbrow(nidx, r):
+                return nbuf_ref[nidx * _NB_ROWS + r:nidx * _NB_ROWS + r + 1,
+                                :]
+
             z = jnp.where(shade, res["m"], 0.0)
-            for nidx in range(N_NBR):
-                d_x = offs_ref[nidx, 0]
-                d_y = offs_ref[nidx, 1]
-                off = d_y * width + d_x
-                s = tile * C + off
-                sc = jnp.clip(s, 0, B - C)
-                q0 = sc // C
-                r_sh = sc - q0 * C
-                q1 = jnp.minimum(q0 + 1, G - 1)
-                b0 = pltpu.roll(read_stage(q0, win0), (C - r_sh) % C, axis=1)
-                b1 = pltpu.roll(read_stage(q1, win1), (C - r_sh) % C, axis=1)
-                nb = jnp.where(lane < C - r_sh, b0, b1)
-
-                ox_i = px_i + d_x
-                oy_i = py_i + d_y
-                in_img = (ox_i >= 0) & (ox_i < width) & (oy_i >= 0) \
-                    & (oy_i < height)
-                intended = s == sc
-
-                def nrow(r):
-                    return nb[r:r + 1, :]
-
-                n_t = nrow(_GS_T)
-                depth_ok = (n_t <= 1.1 * t_own) & (n_t >= 0.9 * t_own)
-                normal_ok = (nrow(_GS_NRM) * nx + nrow(_GS_NRM + 1) * ny
-                             + nrow(_GS_NRM + 2) * nz) >= 0.906
-                ok = shade & in_img & intended & depth_ok & normal_ok \
-                    & (nrow(_GS_SHADE) > 0.5) & (nrow(_GS_M) > 0.0)
-
-                ns = dict(sp=(nrow(_GS_SP), nrow(_GS_SP + 1),
-                              nrow(_GS_SP + 2)),
-                          sn=(nrow(_GS_SN), nrow(_GS_SN + 1),
-                              nrow(_GS_SN + 2)),
-                          rad=(nrow(_GS_RAD), nrow(_GS_RAD + 1),
-                               nrow(_GS_RAD + 2)))
-                nb_w = nrow(_GS_W)
-                nb_m = nrow(_GS_M)
-
-                # Jacobian of path reconnection (eq. 11, Renderer.cu:
-                # 2343-2353): neighbor's visible point vs ours
-                dqx = nrow(_GS_POS) - ns["sp"][0]
-                dqy = nrow(_GS_POS + 1) - ns["sp"][1]
-                dqz = nrow(_GS_POS + 2) - ns["sp"][2]
-                drx = pxp - ns["sp"][0]
-                dry = pyp - ns["sp"][1]
-                drz = pzp - ns["sp"][2]
-                dist_q = jnp.sqrt(jnp.maximum(
-                    dqx * dqx + dqy * dqy + dqz * dqz, 1e-20))
-                dist_r = jnp.sqrt(jnp.maximum(
-                    drx * drx + dry * dry + drz * drz, 1e-20))
-                cos_q = (ns["sn"][0] * dqx + ns["sn"][1] * dqy
-                         + ns["sn"][2] * dqz) / dist_q
-                cos_r = (ns["sn"][0] * drx + ns["sn"][1] * dry
-                         + ns["sn"][2] * drz) / dist_r
-                jac = jnp.where(cos_q > 0.0,
-                                cos_r / jnp.maximum(cos_q, 1e-12), 0.0) \
-                    * (dist_q * dist_q) / jnp.maximum(dist_r * dist_r, 1e-20)
-                p_n = jnp.where(jac > 0.0,
-                                _rad_norm(ns["rad"])
-                                / jnp.maximum(jac, 1e-12), 0.0)
-
-                # visibility re-trace: neighbor sample point -> our
-                # visible point (Renderer.cu:2356-2366)
-                vdx, vdy, vdz = drx / dist_r, dry / dist_r, drz / dist_r
-                tv, _, _, _, _ = trace(ns["sp"][0] + ns["sn"][0] * _EPS,
-                                       ns["sp"][1] + ns["sn"][1] * _EPS,
-                                       ns["sp"][2] + ns["sn"][2] * _EPS,
-                                       vdx, vdy, vdz)
-                tol = jnp.maximum(1e-4, dist_r * 1e-3)
-                visible = jnp.abs(tv - dist_r) <= tol
-                p_n = jnp.where(visible, p_n, 0.0)
-
-                z = z + jnp.where(ok, nb_m, 0.0)
-                key, u_acc = _next_uniform(key)
-                res = _gi_res_update(res, ns, p_n * nb_w * nb_m, nb_m,
-                                     p_n, u_acc, ok)
+            for base in range(0, N_NBR, RS):
+                grp = list(range(base, min(base + RS, N_NBR)))
+                cat = lambda r: jnp.concatenate(
+                    [nbrow(n, r) for n in grp], axis=0)
+                # batched visibility re-trace: neighbor sample point ->
+                # our visible point (Renderer.cu:2356-2366)
+                tv, _, _, _, _ = trace(cat(_NB_O), cat(_NB_O + 1),
+                                       cat(_NB_O + 2), cat(_NB_D),
+                                       cat(_NB_D + 1), cat(_NB_D + 2))
+                for gi_, n in enumerate(grp):
+                    dist_r = nbrow(n, _NB_DIST)
+                    tol = jnp.maximum(1e-4, dist_r * 1e-3)
+                    visible = jnp.abs(tv[gi_:gi_ + 1, :] - dist_r) <= tol
+                    p_n = jnp.where(visible, nbrow(n, _NB_PN), 0.0)
+                    ok = nbrow(n, _NB_OK) > 0.5
+                    nb_w = nbrow(n, _NB_W)
+                    nb_m = nbrow(n, _NB_M)
+                    ns = dict(sp=(nbrow(n, _NB_SP), nbrow(n, _NB_SP + 1),
+                                  nbrow(n, _NB_SP + 2)),
+                              sn=(nbrow(n, _NB_SN), nbrow(n, _NB_SN + 1),
+                                  nbrow(n, _NB_SN + 2)),
+                              rad=(nbrow(n, _NB_RAD), nbrow(n, _NB_RAD + 1),
+                                   nbrow(n, _NB_RAD + 2)))
+                    z = z + jnp.where(ok, nb_m, 0.0)
+                    key, u_acc = _next_uniform(key)
+                    res = _gi_res_update(res, ns, p_n * nb_w * nb_m, nb_m,
+                                         p_n, u_acc, ok)
 
             # paper eq. 7 with Z (restir_gi parity)
             p_sel = res["phat"]
@@ -531,28 +587,48 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
             interpret=interpret,
         )(cam, frame_arr, P, AT, state)
 
-    def k2_call(cam, frame_arr, offs, P, stage):
+    def k2a_call(offs, stage):
         return pl.pallas_call(
-            k2, grid=grid,
+            k2a, grid=grid,
             in_specs=[
-                pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
                 pl.BlockSpec((max(N_NBR, 1), 2), full,
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
+                blocked(_GS_ROWS),                   # own tile
                 pl.BlockSpec(memory_space=pl.ANY),   # stage stays in HBM
             ],
-            out_specs=[blocked(8), blocked(_GST_ROWS)],
-            out_shape=[jax.ShapeDtypeStruct((G * 8, C), jnp.float32),
-                       jax.ShapeDtypeStruct((G * _GST_ROWS, C),
-                                            jnp.float32)],
-            scratch_shapes=list(scratches) + [
+            out_specs=blocked(N_NBR * _NB_ROWS),
+            out_shape=jax.ShapeDtypeStruct((G * N_NBR * _NB_ROWS, C),
+                                           jnp.float32),
+            scratch_shapes=[
                 pltpu.VMEM((_GS_ROWS, C), jnp.float32),   # win0
                 pltpu.VMEM((_GS_ROWS, C), jnp.float32),   # win1
                 pltpu.SemaphoreType.DMA(()),
             ],
             interpret=interpret,
-        )(cam, frame_arr, offs, P, stage)
+        )(offs, stage, stage)
+
+    def k2b_call(cam, frame_arr, P, stage, nbuf):
+        spatial = use_spatial and N_NBR > 0
+        in_specs = [
+            pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
+            pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
+            blocked(_GS_ROWS),                       # own tile
+        ]
+        args = [cam, frame_arr, P, stage]
+        if spatial:
+            in_specs.append(blocked(N_NBR * _NB_ROWS))
+            args.append(nbuf)
+        return pl.pallas_call(
+            k2b, grid=grid,
+            in_specs=in_specs,
+            out_specs=[blocked(8), blocked(_GST_ROWS)],
+            out_shape=[jax.ShapeDtypeStruct((G * 8, C), jnp.float32),
+                       jax.ShapeDtypeStruct((G * _GST_ROWS, C),
+                                            jnp.float32)],
+            scratch_shapes=list(scratches),
+            interpret=interpret,
+        )(*args)
 
     @jax.jit
     def render(cam, P, AT, frame0, state):
@@ -570,7 +646,10 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
                 offs.append(((ux * 2.0 - 1.0) * radius).astype(jnp.int32))
                 offs.append(((uy * 2.0 - 1.0) * radius).astype(jnp.int32))
             offs = jnp.stack(offs).reshape(max(N_NBR, 1), 2)
-            hdr, st2 = k2_call(cam, frame_arr, offs, P, stage)
+            nbuf = None
+            if use_spatial and N_NBR > 0:
+                nbuf = k2a_call(offs, stage)
+            hdr, st2 = k2b_call(cam, frame_arr, P, stage, nbuf)
             return accum + hdr, st2
 
         accum0 = jnp.zeros((G * 8, C), jnp.float32)
