@@ -51,6 +51,10 @@ def _load():
             _f32p, _f32p, _f32p, _f32p, _f32p, _f32p,
             _i32p, _i32p, _i32p, _i32p, _i32p,
             ctypes.POINTER(ctypes.c_int64)]
+        _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
+        lib.png_unfilter.restype = ctypes.c_int
+        lib.png_unfilter.argtypes = [_u8p, _u8p, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_int]
         _LIB = lib
     except Exception:
         _LIB_FAILED = True
@@ -97,6 +101,19 @@ def build_scene_bvh_native(tri_lo, tri_hi, mesh_tri_ranges, leaf_size=4):
                    first=first[:n].copy(), count=count[:n].copy(),
                    prim_idx=prim_idx[:n_slots.value].copy(),
                    leaf_size=leaf_size)
+
+
+def png_unfilter_native(raw: np.ndarray, height: int, stride: int,
+                        bpp: int) -> np.ndarray | None:
+    """Reconstruct PNG scanlines from the inflated IDAT stream (native/
+    builders.cpp::png_unfilter); returns (height*stride,) uint8 or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(height * stride, np.uint8)
+    rc = lib.png_unfilter(np.ascontiguousarray(raw, np.uint8), out,
+                          height, stride, bpp)
+    return out if rc == 0 else None
 
 
 def build_light_tree_native(positions, tri_v, tri_mat, emission_per_mat,

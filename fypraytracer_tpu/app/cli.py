@@ -62,13 +62,17 @@ def _settings(args, technique) -> RenderSettings:
         temporal_history_limit=args.history)
 
 
-def _render_run(scene, cam, settings, frames=None, seconds=None, impl="auto"):
-    """Accumulate frames; returns (avg_hdr, frames, avg_frame_ms).
+def _render_run(scene, cam, settings, frames=None, seconds=None, impl="auto",
+                strict=False):
+    """Accumulate frames; returns (avg_hdr, frames, avg_frame_ms, impl_used).
 
     ``impl``: 'auto' | 'wavefront' | 'megakernel' — megakernel is the fast
-    fused path for untextured configs (render/megakernel.py for the
-    hemisphere family + NEE, render/megakernel_restir{,_gi}.py for
-    ReSTIR DI/GI) and requires a frame budget (``frames``).
+    fused path (render/megakernel.py for the hemisphere family + NEE,
+    render/megakernel_restir{,_gi}.py for ReSTIR DI/GI) and requires a
+    frame budget (``frames``).  A megakernel failure falls back to the
+    wavefront renderer with a logged warning; pass ``strict=True`` (or
+    request impl='megakernel' explicitly) to error instead, so a fast-path
+    regression can't silently re-route benchmarks to the ~40x slower path.
     """
     from fypraytracer_tpu.render.renderer import Renderer
 
@@ -96,9 +100,15 @@ def _render_run(scene, cam, settings, frames=None, seconds=None, impl="auto"):
             t0 = time.perf_counter()
             avg = np.asarray(mk.render_many(frames))  # batch 2: timed
             dt = time.perf_counter() - t0
-            return avg, 2 * frames, dt / frames * 1000.0
-        except Exception:
-            pass  # fall through to the wavefront renderer
+            return avg, 2 * frames, dt / frames * 1000.0, "megakernel"
+        except Exception as exc:
+            if strict or impl == "megakernel":
+                raise
+            import traceback
+            print(json.dumps({"warning": "megakernel failed; falling back "
+                              "to wavefront renderer",
+                              "error": f"{type(exc).__name__}: {exc}"}))
+            traceback.print_exc()
 
     r = Renderer(scene, cam, settings)
     avg = r.render_hdr()
@@ -116,7 +126,7 @@ def _render_run(scene, cam, settings, frames=None, seconds=None, impl="auto"):
             break
     avg = np.asarray(avg)
     dt = time.perf_counter() - t0
-    return avg, n, dt / n * 1000.0
+    return avg, n, dt / n * 1000.0, "wavefront"
 
 
 def _save(outdir, name, hdr, settings, avg_ms, minutes, golden=None):
@@ -147,12 +157,14 @@ def _save(outdir, name, hdr, settings, avg_ms, minutes, golden=None):
 def cmd_render(args):
     scene, cam = _load_scene(args)
     settings = _settings(args, _TECH[args.technique])
-    hdr, n, avg_ms = _render_run(scene, cam, settings, frames=args.frames,
-                                 seconds=args.seconds, impl=args.impl)
+    hdr, n, avg_ms, impl = _render_run(scene, cam, settings,
+                                       frames=args.frames,
+                                       seconds=args.seconds, impl=args.impl,
+                                       strict=args.strict)
     base, mse, psnr = _save(args.out, args.technique, hdr, settings, avg_ms,
                             n * avg_ms / 60000.0, args.golden)
     print(json.dumps({"output": base, "frames": n,
-                      "avg_frame_ms": round(avg_ms, 2),
+                      "avg_frame_ms": round(avg_ms, 2), "impl": impl,
                       "mse": mse, "psnr": psnr}))
 
 
@@ -168,21 +180,23 @@ def cmd_benchmark(args):
     from fypraytracer_tpu.core.color import finalize_pixels, to_uint8_rgb
     from fypraytracer_tpu.utils import metrics as M
 
-    golden_hdr, _, _ = _render_run(
+    golden_hdr, _, _, _ = _render_run(
         scene, cam, _settings(args, SamplingTechnique.COSINE).replace(
             samples=max(args.samples, 4)),
-        frames=args.golden_frames)
+        frames=args.golden_frames, strict=args.strict)
     golden8 = to_uint8_rgb(finalize_pixels(golden_hdr, np.float32(1.0)))
 
     rows = []
     for name in techniques:
         settings = _settings(args, _TECH[name])
-        hdr, n, avg_ms = _render_run(scene, cam, settings,
-                                     frames=args.frames, seconds=args.seconds)
+        hdr, n, avg_ms, impl = _render_run(scene, cam, settings,
+                                           frames=args.frames,
+                                           seconds=args.seconds,
+                                           strict=args.strict)
         rgb8 = to_uint8_rgb(finalize_pixels(hdr, np.float32(1.0)))
         mse = M.mse_8bit(rgb8, golden8)
         rows.append({"technique": name, "frames": n,
-                     "avg_frame_ms": round(avg_ms, 2),
+                     "avg_frame_ms": round(avg_ms, 2), "impl": impl,
                      "mse": round(mse, 4), "psnr": round(M.psnr(mse), 2)})
         print(json.dumps(rows[-1]))
     if args.out:
@@ -247,6 +261,9 @@ def main(argv=None):
         sp.add_argument("--neighbors", type=int, default=5)
         sp.add_argument("--radius", type=int, default=30)
         sp.add_argument("--history", type=int, default=2)
+        sp.add_argument("--strict", action="store_true",
+                        help="error if the megakernel fast path fails "
+                             "instead of falling back to the wavefront")
 
     r = sub.add_parser("render", help="render one technique")
     common(r)

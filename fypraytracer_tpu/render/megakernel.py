@@ -455,6 +455,9 @@ def build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS=_RS):
         ox, oy, oz, dx, dy, dz = jnp.broadcast_arrays(ox, oy, oz,
                                                       dx, dy, dz)
         rr = ox.shape[0]
+        assert rr <= RS, (
+            f"trace called with {rr} ray rows but only {RS} scratch rows; "
+            "writes would spill into the next component's block")
         for ci, val in enumerate((ox, oy, oz, dx, dy, dz)):
             rayin[ci * RS:ci * RS + rr, :] = val
 
@@ -656,6 +659,9 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
     NL = max(((n_light_nodes + 127) // 128) * 128, 128)
 
     RS = 8           # scratch row geometry (one full sublane tile), ≥ R
+    assert 1 <= R <= RS, (
+        f"frame_group={R} exceeds the {RS}-row rotating scratch blocks; "
+        "larger groups would silently overrun into the next component")
     NR_MAX = 30      # widest row fetch (len(_DESC_ROWS) > len(_SURF_ROWS))
 
     def kernel(*refs):
@@ -1087,9 +1093,20 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
 
 
 def _pick_frame_group(n_frames: int) -> int:
+    """Largest of 8/4/2 dividing ``n_frames`` (frames ride the sublanes;
+    8 = one full vreg).  An odd budget degrades to frame_group=1 and loses
+    the 8x sublane occupancy — warn so callers round their budget to a
+    multiple of 8 (rendering a few extra frames is harmless: the result
+    is an average)."""
     for r in (8, 4, 2):
         if n_frames % r == 0:
             return r
+    if n_frames > 1:
+        import warnings
+        warnings.warn(
+            f"n_frames={n_frames} is odd -> frame_group=1 (8x sublane "
+            "occupancy lost); round the frame budget to a multiple of 8",
+            stacklevel=2)
     return 1
 
 

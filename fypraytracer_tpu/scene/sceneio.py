@@ -90,5 +90,7 @@ def builtin_scene(name: str, width: int, height: int):
                                       with_spheres=False)
     if name == "triangle":
         return procedural.single_triangle()
+    if name == "room":
+        return procedural.room(width=width, height=height)
     raise ValueError(f"unknown builtin scene {name!r} "
-                     "(try: cornell, cornell-empty, triangle)")
+                     "(try: cornell, cornell-empty, triangle, room)")

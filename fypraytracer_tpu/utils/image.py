@@ -49,6 +49,109 @@ def load_bmp(path: str) -> np.ndarray:
     return arr[:, :, ::-1].copy()  # BGR -> RGB
 
 
+def _png_unfilter_numpy(raw: np.ndarray, height: int, stride: int,
+                        bpp: int) -> np.ndarray:
+    """Pure-NumPy scanline reconstruction fallback (same semantics as
+    native/builders.cpp::png_unfilter).  None/Up rows are vectorized; Sub
+    rows use a per-channel cumsum; Average/Paeth rows fall back to a
+    per-byte loop (correct but slow — the native path is the normal one)."""
+    rows = raw.reshape(height, stride + 1)
+    out = np.zeros((height, stride), np.uint8)
+    for y in range(height):
+        ftype = int(rows[y, 0])
+        src = rows[y, 1:]
+        up = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if ftype == 0:
+            out[y] = src
+        elif ftype == 1:  # Sub: per-channel cumsum mod 256
+            cols = src.reshape(-1, bpp)
+            out[y] = np.cumsum(cols.astype(np.uint64), axis=0).astype(
+                np.uint8).reshape(-1)
+        elif ftype == 2:  # Up
+            out[y] = src + up
+        elif ftype in (3, 4):  # Average / Paeth: sequential in x
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(up[x])
+                if ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(up[x - bpp]) if (y and x >= bpp) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(src[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out.reshape(-1)
+
+
+def load_png(path: str) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to (H, W, C) uint8.
+
+    Framework-owned decoder (stb_image parity for the reference's texture
+    loading, Texture.cu:8-40): chunk parse + stdlib zlib inflate here,
+    scanline unfiltering in native C++ (numpy fallback).  Supports color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) at bit
+    depth 8 — covers the reference's assets (RGB + RGBA, 2048²).
+    """
+    data = open(path, "rb").read()
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG file")
+    pos, w = 8, 0
+    idat = bytearray()
+    palette = None
+    h = bitdepth = ctype = interlace = 0
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, bitdepth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload)
+        elif tag == b"PLTE":
+            palette = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if bitdepth != 8:
+        raise ValueError(f"only 8-bit PNG supported, got {bitdepth}")
+    if interlace:
+        raise ValueError("interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    from fypraytracer_tpu.accel.native import png_unfilter_native
+    out = png_unfilter_native(raw, h, stride, channels)
+    if out is None:
+        out = _png_unfilter_numpy(raw, h, stride, channels)
+    img = out.reshape(h, w, channels)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        img = palette[img[:, :, 0]]
+    return img
+
+
+def load_image(path: str) -> np.ndarray:
+    """Load a BMP or PNG to (H, W, 3) uint8 RGB by magic bytes (the role of
+    stbi_load in the reference's Scene::AddNewTexture, Scene.cpp:188)."""
+    magic = open(path, "rb").read(8)
+    if magic[:2] == b"BM":
+        return load_bmp(path)
+    img = load_png(path)
+    if img.shape[-1] == 1:
+        img = np.repeat(img, 3, axis=-1)
+    elif img.shape[-1] == 2:
+        img = np.repeat(img[:, :, :1], 3, axis=-1)
+    return img[:, :, :3].copy()
+
+
 def save_png(path: str, rgb8: np.ndarray) -> None:
     """Minimal PNG writer (no external deps)."""
     h, w = rgb8.shape[:2]

@@ -558,3 +558,63 @@ int build_light_tree(const float* positions, const int32_t* tri_v,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// PNG scanline unfilter (the hot half of a PNG decoder; chunk parsing and
+// zlib inflate live in Python — utils/image.py::load_png).  Plays the role
+// of stb_image's row defiltering used by the reference's texture loader
+// (FYPRayTracer/src/Classes/BaseClasses/Texture.cu:8-40 via stbi_load).
+//
+// `raw` is the inflated IDAT stream: height rows of (1 filter byte +
+// stride bytes).  `out` receives height*stride reconstructed bytes.
+// Returns 0 on success, -1 on an unknown filter type.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int png_unfilter(const uint8_t* raw, uint8_t* out, int64_t height,
+                 int64_t stride, int bpp) {
+  for (int64_t y = 0; y < height; ++y) {
+    const uint8_t* src = raw + y * (stride + 1);
+    uint8_t* cur = out + y * stride;
+    const uint8_t* up = y ? cur - stride : nullptr;
+    switch (src[0]) {
+      case 0:  // None
+        std::memcpy(cur, src + 1, stride);
+        break;
+      case 1:  // Sub
+        for (int64_t x = 0; x < stride; ++x)
+          cur[x] = src[1 + x] + (x >= bpp ? cur[x - bpp] : 0);
+        break;
+      case 2:  // Up
+        for (int64_t x = 0; x < stride; ++x)
+          cur[x] = src[1 + x] + (up ? up[x] : 0);
+        break;
+      case 3:  // Average
+        for (int64_t x = 0; x < stride; ++x) {
+          int a = x >= bpp ? cur[x - bpp] : 0;
+          int b2 = up ? up[x] : 0;
+          cur[x] = src[1 + x] + ((a + b2) >> 1);
+        }
+        break;
+      case 4:  // Paeth
+        for (int64_t x = 0; x < stride; ++x) {
+          int a = x >= bpp ? cur[x - bpp] : 0;
+          int b2 = up ? up[x] : 0;
+          int c = (up && x >= bpp) ? up[x - bpp] : 0;
+          int p = a + b2 - c;
+          int pa = p > a ? p - a : a - p;
+          int pb = p > b2 ? p - b2 : b2 - p;
+          int pc = p > c ? p - c : c - p;
+          int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b2 : c);
+          cur[x] = src[1 + x] + pred;
+        }
+        break;
+      default:
+        return -1;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

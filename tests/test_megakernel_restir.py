@@ -62,6 +62,15 @@ def test_megakernel_restir_gi_unbiased_vs_brdf_path():
         technique=SamplingTechnique.BRDF, bounces=2, samples=4), frames)
     rel = abs(avg.mean() - ref.mean()) / max(ref.mean(), 1e-9)
     assert rel < 0.06, (avg.mean(), ref.mean())
+    # per-quadrant means too: a spatially localized bias (e.g. a wrong
+    # reconnection-Jacobian convention brightening edges / darkening the
+    # center) could cancel in the image-wide mean and slip through
+    h, w = avg.shape[:2]
+    ref = np.asarray(ref).reshape(h, w, -1)
+    for ys in (slice(0, h // 2), slice(h // 2, h)):
+        for xs in (slice(0, w // 2), slice(w // 2, w)):
+            a, r = avg[ys, xs].mean(), ref[ys, xs].mean()
+            assert abs(a - r) / max(r, 1e-9) < 0.15, (ys, xs, a, r)
 
 
 def test_megakernel_restir_gi_state_carry():
