@@ -14,11 +14,19 @@ from fypraytracer_tpu.core.mathutils import _xp
 from fypraytracer_tpu.scene.types import TextureAtlas
 
 
-def sample_bilinear(atlas: TextureAtlas, tex_id, u, v):
+def _level(atlas: TextureAtlas, bounce: bool):
+    """Mip level per the TextureAtlas policy: primary fetches read mip 0,
+    bounce-hit fetches read the prefiltered bounce level."""
+    if bounce and atlas.bounce_pages is not None:
+        return atlas.bounce_pages
+    return atlas.pages
+
+
+def sample_bilinear(atlas: TextureAtlas, tex_id, u, v, bounce: bool = False):
     """Bilinear sample; ``tex_id`` (B,) i32 (clamped to valid), ``u``/``v``
     (B,) in [0,1] (wrapped).  Returns (B, 3) RGB."""
     xp = _xp(u)
-    pages = atlas.pages
+    pages = _level(atlas, bounce)
     k, h, w = pages.shape[0], pages.shape[1], pages.shape[2]
     tid = xp.clip(tex_id, 0, k - 1)
 

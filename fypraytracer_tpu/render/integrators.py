@@ -57,20 +57,27 @@ def material_emission(scene: Scene, mat_id):
     return xp.where((mat_id >= 0)[..., None], em, 0.0)
 
 
-def fetch_albedo(scene: Scene, mat_id, uv):
-    """Flat albedo or bilinear texture fetch (Renderer.cu:609-621)."""
+def fetch_albedo(scene: Scene, mat_id, uv, bounce: bool = False):
+    """Flat albedo or bilinear texture fetch (Renderer.cu:609-621).
+
+    ``bounce=True`` reads the prefiltered bounce mip level — the shared
+    sampling policy (scene/types.py::TextureAtlas) every render path
+    follows so the wavefront, oracle, and megakernel stay bit-matched."""
     xp = _xp(uv)
     m = xp.maximum(mat_id, 0)
     flat = scene.materials.albedo[m]
     tex_id = scene.materials.albedo_map[m]
-    textured = sample_bilinear(scene.textures, tex_id, uv[..., 0], uv[..., 1])
+    textured = sample_bilinear(scene.textures, tex_id, uv[..., 0], uv[..., 1],
+                               bounce=bounce)
     return xp.where((tex_id >= 0)[..., None], textured, flat)
 
 
-def _scatter(scene: Scene, pay, view, key, sampler: str):
+def _scatter(scene: Scene, pay, view, key, sampler: str,
+             bounce: bool = False):
     """Draw one scatter direction at a hit; returns (key, L, pdf).
 
-    ``view`` is the direction from hit towards the previous vertex (-ray).
+    ``view`` is the direction from hit towards the previous vertex (-ray);
+    ``bounce`` selects the texture mip per the TextureAtlas policy.
     """
     normal = pay["normal"]
     mats = scene.materials
@@ -78,7 +85,7 @@ def _scatter(scene: Scene, pay, view, key, sampler: str):
     m = xp.maximum(pay["mat"], 0)
     rough = mats.roughness[m]
     metal = mats.metallic[m]
-    albedo = fetch_albedo(scene, pay["mat"], pay["uv"])
+    albedo = fetch_albedo(scene, pay["mat"], pay["uv"], bounce=bounce)
 
     if sampler == "uniform":
         key, (u1, u2) = rng.uniforms(key, 2)
@@ -174,7 +181,8 @@ def radiance_hemisphere(scene: Scene, trace_fn, origins, directions, pixel_ids,
             active = active & ~is_emissive
 
             view = -ray_d
-            key, l, pdf, albedo, rough, metal = _scatter(scene, pay, view, key, eff_sampler)
+            key, l, pdf, albedo, rough, metal = _scatter(
+                scene, pay, view, key, eff_sampler, bounce=True)
             brdf = cook_torrance_brdf(pay["normal"], view, l, albedo, metal, rough)
             cos_t = xp.maximum(dot3(l, pay["normal"]), 0.0)
             ok = pdf > 0.0
@@ -343,7 +351,7 @@ def radiance_nee_mis(scene: Scene, trace_fn, origins, directions, pixel_ids,
             mclamp = xp.maximum(pay["mat"], 0)
             rough = scene.materials.roughness[mclamp]
             metal = scene.materials.metallic[mclamp]
-            albedo = fetch_albedo(scene, pay["mat"], pay["uv"])
+            albedo = fetch_albedo(scene, pay["mat"], pay["uv"], bounce=_b > 0)
 
             # ---- direct light sample -------------------------------------
             key, (u_pick, u1, u2) = rng.uniforms(key, 3)

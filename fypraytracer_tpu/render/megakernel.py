@@ -107,7 +107,11 @@ _A_E2 = 23      # 23:26 edge 2
 _A_AREA = 26
 _A_LEAF = 27    # light-tree leaf id of this triangle (-1 none)
 _A_NS = 28      # 28:31 unnormalized n0+n1+n2 (area-light facet normal)
-_A_COLS = 32    # padded
+_A_UV0 = 31     # 31:33 vertex uvs (texture fetch at bounce hits)
+_A_UV1 = 33     # 33:35
+_A_UV2 = 35     # 35:37
+_A_TEXROW = 37  # bounce-atlas page start row (= page_id·hb), -1 untextured
+_A_COLS = 40    # padded
 
 # packed light-tree node table rows (from scene/types.py::LightTreeArrays;
 # L_T is (_P_COLS, N_nodes)).  Each node's row carries BOTH children's

@@ -151,7 +151,7 @@ def _trace_sample_path(scene, trace_fn, prim, view, key, settings):
     for _b in range(max(settings.bounces - 1, 0)):
         view_b = -ray_d
         mb = xp.maximum(pay["mat"], 0)
-        albedo_b = fetch_albedo(scene, pay["mat"], pay["uv"])
+        albedo_b = fetch_albedo(scene, pay["mat"], pay["uv"], bounce=True)
         key, (s1, s2, s3) = rng.uniforms(key, 3)
         l, pdf = brdf_sample_hemisphere(pay["normal"], view_b, albedo_b,
                                         mats.metallic[mb], mats.roughness[mb],

@@ -225,18 +225,64 @@ def empty_light_tree(num_tris: int) -> LightTreeArrays:
                            leaf_of_tri=np.full((max(num_tris, 1),), -1, np.int32))
 
 
-def pack_atlas(textures: list[np.ndarray], page: int = ATLAS_PAGE) -> TextureAtlas:
-    """Resample every texture to a fixed page so texture lookup is a single
-    gather source (SURVEY.md §7 hard-part #5)."""
+def _resize_bilinear(tex: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Bilinear resample to (h, w) with the framework's (n-1) endpoint
+    convention (matches ops/texture.py::sample_bilinear footprints)."""
+    sh, sw = tex.shape[:2]
+    if (sh, sw) == (h, w):
+        return np.asarray(tex[..., :3], np.float32)
+    fy = np.linspace(0.0, sh - 1.0, h, dtype=np.float64)
+    fx = np.linspace(0.0, sw - 1.0, w, dtype=np.float64)
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    y1 = np.minimum(y0 + 1, sh - 1)
+    x1 = np.minimum(x0 + 1, sw - 1)
+    ay = (fy - y0).astype(np.float32)[:, None, None]
+    ax = (fx - x0).astype(np.float32)[None, :, None]
+    t = np.asarray(tex[..., :3], np.float32)
+    top = t[y0[:, None], x0[None, :]] * (1 - ax) + t[y0[:, None], x1[None, :]] * ax
+    bot = t[y1[:, None], x0[None, :]] * (1 - ax) + t[y1[:, None], x1[None, :]] * ax
+    return top * (1 - ay) + bot * ay
+
+
+def _box_downsample(tex: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Area-average minification (exact mean pooling when divisible,
+    bilinear fallback otherwise)."""
+    sh, sw = tex.shape[:2]
+    t = np.asarray(tex[..., :3], np.float32)
+    if sh % h == 0 and sw % w == 0:
+        return t.reshape(h, sh // h, w, sw // w, 3).mean(axis=(1, 3))
+    return _resize_bilinear(t, h, w)
+
+
+def pack_atlas(textures: list[np.ndarray], page: int | None = None,
+               bounce_page: int = 128) -> TextureAtlas:
+    """Pack textures into one (K, H, W, 3) mip-0 gather source plus a
+    box-filtered (K, hb, wb, 3) bounce level (see TextureAtlas policy).
+
+    ``page=None`` keeps the largest native resolution (smaller textures are
+    bilinearly upsampled so one page size serves all ids); an explicit
+    ``page`` forces that resolution (legacy ATLAS_PAGE behavior, now with
+    proper filtering instead of nearest)."""
     if not textures:
         return TextureAtlas(pages=np.zeros((1, 8, 8, 3), np.float32),
-                            size=np.ones((1, 2), np.int32) * 8)
-    pages, sizes = [], []
+                            size=np.ones((1, 2), np.int32) * 8,
+                            bounce_pages=np.zeros((1, 8, 8, 3), np.float32))
+    if page is None:
+        ph = max(t.shape[0] for t in textures)
+        pw = max(t.shape[1] for t in textures)
+    else:
+        ph = pw = page
+    bh = min(bounce_page, ph)
+    bw = min(bounce_page, pw)
+    pages, bounce, sizes = [], [], []
     for tex in textures:
         h, w = tex.shape[:2]
-        yi = (np.arange(page) * h // page)
-        xi = (np.arange(page) * w // page)
-        pages.append(tex[yi[:, None], xi[None, :], :3])
+        full = (_resize_bilinear(tex, ph, pw) if h <= ph and w <= pw
+                else _box_downsample(tex, ph, pw))
+        pages.append(full)
+        bounce.append(_box_downsample(full, bh, bw))
         sizes.append((w, h))
     return TextureAtlas(pages=np.asarray(pages, np.float32),
-                        size=np.asarray(sizes, np.int32))
+                        size=np.asarray(sizes, np.int32),
+                        bounce_pages=np.asarray(bounce, np.float32))

@@ -125,14 +125,26 @@ class LightTreeArrays:
 class TextureAtlas:
     """All textures packed into one array for single-source gathers.
 
-    ``pages``: (K, H, W, 3) f32 RGB in [0,1]; every texture is resampled to
-    the atlas page size at build time (nearest) so per-ray texture ids stay
-    a single gather axis (SURVEY.md §7 hard-part #5).
+    ``pages``: (K, H, W, 3) f32 RGB in [0,1] — the full-detail mip-0 level
+    (textures smaller than the page are bilinearly resampled up so per-ray
+    texture ids stay a single gather axis, SURVEY.md §7 hard-part #5).
     ``size``: (K, 2) i32 original (w, h) for exact bilinear footprints.
+    ``bounce_pages``: (K, hb, wb, 3) f32 box-filtered minified level.
+
+    Sampling policy (shared by EVERY render path so they stay bit-matched):
+    primary/visible-point fetches read ``pages`` at full detail; fetches at
+    secondary bounce hits read ``bounce_pages``.  Secondary-ray footprints
+    span many texels (diffuse scatter), so a prefiltered level is the
+    correct minification — the reference samples mip 0 everywhere
+    (Texture.cu:94-139, no mip chain) and aliases under minification; this
+    is a documented fix, not a quirk reproduction.  ``bounce_pages`` is
+    sized to fit a Pallas kernel's VMEM/MXU fetch budget
+    (render/megakernel.py texture notes).
     """
 
     pages: Array  # (K, H, W, 3) f32
     size: Array   # (K, 2) i32
+    bounce_pages: Array = None  # (K, hb, wb, 3) f32; None -> use pages
 
 
 @_pytree_dataclass

@@ -16,11 +16,13 @@ def _checker(n=16):
 
 def test_atlas_pack_and_samplers():
     from fypraytracer_tpu.ops.texture import sample_bilinear, sample_nearest
-    from fypraytracer_tpu.scene.build import ATLAS_PAGE
 
     tex = _checker(16)
     atlas = pack_atlas([tex])
-    assert atlas.pages.shape == (1, ATLAS_PAGE, ATLAS_PAGE, 3)
+    # page=None keeps native resolution (mip 0 untouched)
+    assert atlas.pages.shape == (1, 16, 16, 3)
+    np.testing.assert_allclose(atlas.pages[0], tex)
+    assert atlas.bounce_pages.shape == (1, 16, 16, 3)
     tid = np.zeros(4, np.int32)
     u = np.float32([0.03, 0.97, 0.5, 0.25])
     v = np.float32([0.03, 0.03, 0.5, 0.75])
@@ -29,6 +31,23 @@ def test_atlas_pack_and_samplers():
     # corner texel of the checker is class 0 -> red=0, green=1
     assert near[0, 1] == 1.0 and near[0, 0] == 0.0
     assert np.all((bil >= 0.0) & (bil <= 1.0))
+
+
+def test_atlas_mip_levels():
+    """Explicit page forcing + the prefiltered bounce level: the bounce
+    page of a fine checker converges to the 0.5 mean (box filter), and a
+    mixed-size pack upsamples the small texture to the shared page."""
+    tex = _checker(64)
+    atlas = pack_atlas([tex], bounce_page=16)
+    assert atlas.bounce_pages.shape == (1, 16, 16, 3)
+    np.testing.assert_allclose(atlas.bounce_pages[0, :, :, 0].mean(), 0.5,
+                               atol=1e-6)
+    forced = pack_atlas([tex], page=32)
+    assert forced.pages.shape == (1, 32, 32, 3)
+
+    mixed = pack_atlas([_checker(64), _checker(16)])
+    assert mixed.pages.shape == (2, 64, 64, 3)
+    assert mixed.size.tolist() == [[64, 64], [16, 16]]
 
 
 def test_textured_render_end_to_end():
