@@ -1,0 +1,72 @@
+"""TPU benchmark: megakernel on a chosen builtin scene with the new
+texture + tile-cull paths.
+
+Usage: probe_room.py <scene> <sampler> [frames] [res]
+Env: PROBE_CULL=0|1|auto (default auto), PROBE_TEX=0|1 (default auto)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    scene_name = sys.argv[1] if len(sys.argv) > 1 else "room"
+    sampler = sys.argv[2] if len(sys.argv) > 2 else "nee"
+    frames = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    res = int(sys.argv[4]) if len(sys.argv) > 4 else 256
+
+    from fypraytracer_tpu.render import megakernel as MK
+    from fypraytracer_tpu.scene.sceneio import builtin_scene
+
+    builder, cam = builtin_scene(scene_name, res, res)
+    scene = builder.compile()
+    T = scene.geometry.tri_v.shape[0]
+
+    mscene, _ = MK.morton_permuted_scene(scene)
+    taabb = MK.prepare_tile_aabbs(mscene, MK.TRI_TILE)
+    dscene = jax.tree_util.tree_map(jnp.asarray, mscene)
+    P, AT = MK.prepare_scene_tables(dscene)
+    L, depth = MK.prepare_light_table(dscene)
+
+    cull_env = os.environ.get("PROBE_CULL", "auto")
+    cull = None if cull_env == "auto" else bool(int(cull_env))
+    tex_on = bool(int(os.environ.get("PROBE_TEX", "1"))) \
+        and MK.scene_is_textured(scene)
+    txp = txb = tex_shapes = None
+    if tex_on:
+        txp, txb, tex_shapes = MK.prepare_texture_tables(scene.textures)
+
+    render = MK.make_megakernel(
+        res, res, bounces=2, samples=1, sky_color=(0.05, 0.06, 0.08),
+        n_frames=frames, n_tris=T, sampler=sampler,
+        n_light_nodes=L.shape[1], light_depth=depth, frame_group=8,
+        ray_lanes=MK._pick_ray_lanes(res * res), tex_shapes=tex_shapes,
+        cull=cull)
+    cam_mats = jnp.concatenate([jnp.asarray(cam.inv_projection),
+                                jnp.asarray(cam.inv_view)], axis=0)
+    frame0 = jnp.asarray([[1]], jnp.int32)
+    kw = dict(L=L, TXP=txp, TXB=txb, TAABB=taabb)
+    t0 = time.perf_counter()
+    out = render(cam_mats, P, AT, frame0, **kw)
+    v = float(jax.jit(lambda x: x.ravel()[0])(out))
+    t1 = time.perf_counter()
+    print(f"COMPILE+RUN OK scene={scene_name} sampler={sampler} T={T} "
+          f"tiles={taabb.shape[0]} cull={cull} tex={tex_on} res={res} "
+          f"first={v:.4f} wall={t1 - t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    out = render(cam_mats, P, AT, frame0, **kw)
+    float(jax.jit(lambda x: x.ravel()[0])(out))
+    dt = time.perf_counter() - t0 - 0.4
+    rays = res * res * (1 + 2 * 2) if sampler == "nee" else res * res * 3
+    print(f"steady: {dt*1000:.1f} ms total, {dt*1000/frames:.2f} ms/frame, "
+          f"{rays / (dt / frames) / 1e6:.1f} M rays/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -40,27 +40,73 @@ def main():
     T = n_tris + ((-n_tris) % TT)
     G = B // C
 
-    def kernel(cam_ref, frame_ref, p_ref, out_ref, rayin, trout, trouti):
+    loopreps = bool(int(os.environ.get("PROBE_LOOPREPS", "0")))
+    bcast = bool(int(os.environ.get("PROBE_BCAST", "0")))
+    # add a K2b-style blocked per-tile VMEM input (pipelined DMA per grid
+    # step) to test whether block-input pipelining slows the trace loops
+    blocked_rows = int(os.environ.get("PROBE_BLOCKED", "0"))
+    # frames as an OUTER fori of one-pallas_call-per-frame (the ReSTIR
+    # K2b shape) instead of an in-kernel frame loop (the NEE shape)
+    outer = bool(int(os.environ.get("PROBE_OUTER", "0")))
+
+    def kernel(*krefs):
+        if blocked_rows:
+            (cam_ref, frame_ref, p_ref, nb_ref, out_ref,
+             rayin, trout, trouti) = krefs
+        else:
+            (cam_ref, frame_ref, p_ref, out_ref,
+             rayin, trout, trouti) = krefs
         tile = pl.program_id(0)
         cam = cam_ref[:]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
         pix = tile * C + lane
         ox, oy, oz, dx, dy, dz = build_raygen(cam, width, height)(pix)
+        if blocked_rows:
+            ox = ox + nb_ref[0:1, :] * 1e-20   # keep the block input live
         trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, _RS)
 
-        def frame_body(fi, acc):
-            wob = fi.astype(jnp.float32) * 1e-6
-            accv = acc
-            for rep in range(reps):
+        def one_rep(wob, accv):
+            if bcast:
+                # native (rr, C) blocks via broadcast — probes whether the
+                # sublane CONCAT of rr (1, C) rows (not the trace) is what
+                # makes wide-rr traces slow
+                z = jnp.zeros((rr, C), jnp.float32)
+                oxs, oys, ozs = z + ox, z + oy, z + oz
+                dxs, dys, dzs = z + dx + wob, z + dy, z + dz
+            else:
                 oxs = jnp.concatenate([ox] * rr, axis=0)
                 oys = jnp.concatenate([oy] * rr, axis=0)
                 ozs = jnp.concatenate([oz] * rr, axis=0)
-                dxs = jnp.concatenate([dx + wob + rep * 1e-6] * rr, axis=0)
+                dxs = jnp.concatenate([dx + wob] * rr, axis=0)
                 dys = jnp.concatenate([dy] * rr, axis=0)
                 dzs = jnp.concatenate([dz] * rr, axis=0)
-                t, _, _, _, _ = trace(oxs, oys, ozs, dxs, dys, dzs)
-                accv = accv + jnp.sum(jnp.minimum(t, 1e6), axis=0,
-                                      keepdims=True)
+            t, _, _, _, _ = trace(oxs, oys, ozs, dxs, dys, dzs)
+            return accv + jnp.sum(jnp.minimum(t, 1e6), axis=0,
+                                  keepdims=True)
+
+        if outer:
+            wob0 = frame_ref[0, 0].astype(jnp.float32) * 1e-6
+            acc = jnp.zeros((1, C), jnp.float32)
+            for rep in range(reps):
+                acc = one_rep(wob0 + rep * 1e-6, acc)
+            out_ref[:] = jnp.concatenate(
+                [acc, jnp.zeros((7, C), jnp.float32)], axis=0)
+            return
+
+        def frame_body(fi, acc):
+            wob = fi.astype(jnp.float32) * 1e-6
+            if loopreps:
+                # ONE trace instance, reps as a fori_loop — probes whether
+                # per-iteration trace cost scales with kernel code size
+                # (instruction-fetch pressure) rather than work
+                return jax.lax.fori_loop(
+                    0, reps,
+                    lambda r, a: one_rep(wob + r.astype(jnp.float32) * 1e-6,
+                                         a),
+                    acc, unroll=False)
+            accv = acc
+            for rep in range(reps):
+                accv = one_rep(wob + rep * 1e-6, accv)
             return accv
 
         acc = jax.lax.fori_loop(0, frame_ref[0, 0], frame_body,
@@ -69,13 +115,17 @@ def main():
             [acc, jnp.zeros((7, C), jnp.float32)], axis=0)
 
     full = lambda i: (0, 0)
+    in_specs = [
+        pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
+        pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
+    ]
+    if blocked_rows:
+        in_specs.append(pl.BlockSpec((blocked_rows, C), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
     f = pl.pallas_call(
         kernel, grid=(G,),
-        in_specs=[
-            pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
-            pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((8, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8 * G, C), jnp.float32),
@@ -87,15 +137,28 @@ def main():
     )
     cam_mats = jnp.concatenate([jnp.asarray(cam.inv_projection),
                                 jnp.asarray(cam.inv_view)], axis=0)
-    fj = jax.jit(f)
+    if outer:
+        def many(cam_mats, n_arr, P, *rest):
+            def body(fi, acc):
+                fr = jnp.asarray(fi, jnp.int32).reshape(1, 1)
+                return acc + f(cam_mats, fr, P, *rest)
+            return jax.lax.fori_loop(0, frames, body,
+                                     jnp.zeros((8 * G, C), jnp.float32))
+        fj = jax.jit(many)
+    else:
+        fj = jax.jit(f)
     n_arr = jnp.asarray([[frames]], jnp.int32)
-    out = fj(cam_mats, n_arr, P)
+    args = [cam_mats, n_arr, P]
+    if blocked_rows:
+        args.append(jnp.zeros((G * blocked_rows, C), jnp.float32))
+    out = fj(*args)
     float(jax.jit(lambda x: x.ravel()[0])(out))
     t0 = time.perf_counter()
-    out = fj(cam_mats, n_arr, P)
+    out = fj(*args)
     float(jax.jit(lambda x: x.ravel()[0])(out))
     dt = time.perf_counter() - t0 - 0.4
-    print(f"reps={reps} rr={rr} TT={TT} frames={frames}: {dt*1000:.1f} ms total, "
+    print(f"reps={reps} rr={rr} TT={TT} blocked={blocked_rows} "
+          f"frames={frames}: {dt*1000:.1f} ms total, "
           f"{dt*1000/frames:.3f} ms/frame", flush=True)
 
 

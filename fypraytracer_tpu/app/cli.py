@@ -80,7 +80,6 @@ def _render_run(scene, cam, settings, frames=None, seconds=None, impl="auto",
     use_mk = impl == "megakernel" or (
         impl == "auto" and frames is not None and frames >= 16
         and tech in (0, 1, 2, 3, 4, 6, 7, 8)
-        and len(getattr(scene.textures, "pages", [])) <= 1
         and (cam.width * cam.height) % 128 == 0)
     if use_mk:
         try:

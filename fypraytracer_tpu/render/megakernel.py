@@ -38,8 +38,10 @@ Renderer.cu:565-701 — designed around the (8, 128) f32 vreg):
     of a pixel tile cost one kernel launch and zero HBM round trips.
 
 Supports the hemisphere-sampler family and NEE+MIS (in-kernel light tree)
-on untextured scenes; the general wavefront (render/integrators.py)
-remains the fallback for textures, ReSTIR, and big scenes.
+on textured or untextured scenes (albedo maps are fetched in-kernel from
+VMEM-resident atlas tables — see ``build_tex_lookup``); the general
+wavefront (render/integrators.py) remains the fallback for big scenes and
+odd configurations.
 """
 
 from __future__ import annotations
@@ -107,10 +109,10 @@ _A_E2 = 23      # 23:26 edge 2
 _A_AREA = 26
 _A_LEAF = 27    # light-tree leaf id of this triangle (-1 none)
 _A_NS = 28      # 28:31 unnormalized n0+n1+n2 (area-light facet normal)
-_A_UV0 = 31     # 31:33 vertex uvs (texture fetch at bounce hits)
+_A_UV0 = 31     # 31:33 vertex uvs (in-kernel texture fetch)
 _A_UV1 = 33     # 33:35
 _A_UV2 = 35     # 35:37
-_A_TEXROW = 37  # bounce-atlas page start row (= page_id·hb), -1 untextured
+_A_TEXPAGE = 37  # atlas page id (albedo_map), -1 untextured
 _A_COLS = 40    # padded
 
 # packed light-tree node table rows (from scene/types.py::LightTreeArrays;
@@ -138,6 +140,9 @@ _PMF_ROWS = list(range(_P_PLIMP, _P_PLIMP + 28)) + [_P_ISL, _P_PAR]
 _SURF_ROWS = list(range(_A_ALBEDO, _A_ALBEDO + 3)) \
     + list(range(_A_EMISSION, _A_EMISSION + 3)) + [_A_ROUGH, _A_METAL] \
     + list(range(_A_N0, _A_N0 + 9)) + [_A_AREA, _A_LEAF]
+
+# textured variant adds the interpolated-UV inputs + page id (26 <= _NR_MAX)
+_SURF_TEX_ROWS = _SURF_ROWS + list(range(_A_UV0, _A_UV0 + 6)) + [_A_TEXPAGE]
 
 _LIGHT_ROWS = list(range(_A_P0, _A_P0 + 3)) + list(range(_A_E1, _A_E1 + 3)) \
     + list(range(_A_E2, _A_E2 + 3)) + list(range(_A_NS, _A_NS + 3)) \
@@ -191,6 +196,10 @@ def build_attr_matrix(scene: Scene, tri_tile: int = TRI_TILE):
     A = A.at[:, _A_AREA].set(area)
     A = A.at[:, _A_LEAF].set(lt.leaf_of_tri.astype(jnp.float32))
     A = A.at[:, _A_NS:_A_NS + 3].set(n0 + n1 + n2)
+    A = A.at[:, _A_UV0:_A_UV0 + 2].set(g.uvs[tv[:, 0]])
+    A = A.at[:, _A_UV1:_A_UV1 + 2].set(g.uvs[tv[:, 1]])
+    A = A.at[:, _A_UV2:_A_UV2 + 2].set(g.uvs[tv[:, 2]])
+    A = A.at[:, _A_TEXPAGE].set(m.albedo_map[mat].astype(jnp.float32))
 
     pad_t = (-T) % tri_tile
     if pad_t:
@@ -199,6 +208,7 @@ def build_attr_matrix(scene: Scene, tri_tile: int = TRI_TILE):
         wv = jnp.pad(wv, ((0, pad_t), (0, 0)))
         A = jnp.pad(A, ((0, pad_t), (0, 0)), constant_values=0.0)
         A = A.at[T:, _A_LEAF].set(-1.0)
+        A = A.at[T:, _A_TEXPAGE].set(-1.0)
     return wn, wu, wv, A
 
 
@@ -212,6 +222,67 @@ def prepare_scene_tables(scene: Scene):
     T = A.shape[0]
     P = jnp.concatenate([wn, wu, wv, jnp.zeros((T, 4), jnp.float32)], axis=1)
     return P, A.T
+
+
+def morton_permuted_scene(scene: Scene):
+    """Reorder triangles along the Z-order curve of their centroids so
+    ``TRI_TILE``-sized intersection tiles are spatially compact (the
+    precondition for per-tile AABB culling).  Returns ``(scene', perm)``
+    with every triangle-id-valued field remapped: the permuted scene is
+    self-consistent, so all megakernel tables can be built from it
+    directly.  Triangle ids the kernels emit live in the permuted space
+    and never escape the renderer (outputs are HDR images)."""
+    import dataclasses
+
+    g = scene.geometry
+    tv = np.asarray(g.tri_v)
+    if tv.shape[0] == 0:
+        return scene, np.zeros((0,), np.int64)
+    pos = np.asarray(g.positions)
+    cent = (pos[tv[:, 0]] + pos[tv[:, 1]] + pos[tv[:, 2]]) / 3.0
+    from fypraytracer_tpu.accel.morton import morton3d
+    code = morton3d(cent, lo=cent.min(axis=0), hi=cent.max(axis=0) + 1e-6)
+    perm = np.argsort(code, kind="stable")
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.shape[0])
+
+    lt = scene.light_tree
+    lt_tri = np.asarray(lt.tri)
+    new_lt = dataclasses.replace(
+        lt,
+        tri=np.where(lt_tri >= 0, inv[np.maximum(lt_tri, 0)],
+                     -1).astype(np.int32),
+        leaf_of_tri=np.asarray(lt.leaf_of_tri)[perm])
+    new_g = dataclasses.replace(
+        g, tri_v=tv[perm], tri_mat=np.asarray(g.tri_mat)[perm])
+    new_scene = dataclasses.replace(
+        scene, geometry=new_g, light_tree=new_lt,
+        emissive_tris=inv[np.asarray(scene.emissive_tris)].astype(np.int32))
+    return new_scene, perm
+
+
+def prepare_tile_aabbs(scene: Scene, tri_tile: int = TRI_TILE):
+    """Per-intersection-tile AABBs for the in-kernel slab cull.
+
+    Returns (n_tiles, 8) f32 rows [lo(3) | hi(3) | valid | pad]; tiles
+    holding only padding triangles get valid = 0.  Meaningful only on a
+    Morton-permuted scene (tiles must be spatially compact)."""
+    g = scene.geometry
+    tv = np.asarray(g.tri_v)
+    pos = np.asarray(g.positions)
+    T = tv.shape[0]
+    n_tiles = (T + tri_tile - 1) // tri_tile
+    out = np.zeros((max(n_tiles, 1), 8), np.float32)
+    tri_lo = np.minimum(np.minimum(pos[tv[:, 0]], pos[tv[:, 1]]),
+                        pos[tv[:, 2]])
+    tri_hi = np.maximum(np.maximum(pos[tv[:, 0]], pos[tv[:, 1]]),
+                        pos[tv[:, 2]])
+    for k in range(n_tiles):
+        sl = slice(k * tri_tile, min((k + 1) * tri_tile, T))
+        out[k, 0:3] = tri_lo[sl].min(axis=0)
+        out[k, 3:6] = tri_hi[sl].max(axis=0)
+        out[k, 6] = 1.0
+    return jnp.asarray(out)
 
 
 def prepare_light_table(scene: Scene, n_pad: int = 128):
@@ -250,6 +321,49 @@ def prepare_light_table(scene: Scene, n_pad: int = 128):
         for col in (_P_LID, _P_RID, _P_TRI, _P_PAR):
             L = L.at[n:, col].set(-1.0)
     return L.T, lt.max_depth
+
+
+# in-kernel texture level for primary-surface fetches; bounce-surface
+# fetches use the atlas's prefiltered bounce level (TextureAtlas policy).
+# 256^2 keeps the VMEM table at K x 768 KB while matching the ~1:1
+# texel:pixel footprint of a 256^2 render.
+KERNEL_TEX_PAGE = 256
+
+
+def _tex_table(pages: np.ndarray):
+    """Lay one mip level out as the kernel's fetch table: TX[c·w + x,
+    k·h + y] = pages[k, y, x, c], lane dim padded to 128.  A bilinear fetch
+    is then ONE ``TX @ weighted-one-hot`` MXU matmul (y-lerp in the one-hot
+    weights) + a weighted lane-select reduce (x-lerp) — no per-lane
+    gathers (texture policy: Renderer.cu:609-621, Texture.cu:94-139)."""
+    pages = np.asarray(pages, np.float32)
+    k, h, w = pages.shape[:3]
+    tx = pages.transpose(3, 2, 0, 1).reshape(3 * w, k * h)
+    pad_l = (-tx.shape[1]) % 128
+    pad_r = (-tx.shape[0]) % 8
+    if pad_l or pad_r:
+        tx = np.pad(tx, ((0, pad_r), (0, pad_l)))
+    return jnp.asarray(tx), (tx.shape[1], h, w)
+
+
+def prepare_texture_tables(atlas, kernel_page: int = KERNEL_TEX_PAGE):
+    """Build the megakernel's two texture tables.
+
+    Returns ``(TXP, TXB, shapes)`` — primary-level and bounce-level fetch
+    tables plus ``((khp, hp, wp), (khb, hb, wb))`` static dims.  The
+    primary level is the atlas mip 0 box-filtered down to ``kernel_page``
+    if larger (mip 0 at native resolution does not fit VMEM)."""
+    from fypraytracer_tpu.scene.build import _box_downsample
+
+    pages = np.asarray(atlas.pages, np.float32)
+    k, h, w = pages.shape[:3]
+    ph, pw = min(h, kernel_page), min(w, kernel_page)
+    if (ph, pw) != (h, w):
+        pages = np.stack([_box_downsample(p, ph, pw) for p in pages])
+    bounce = atlas.bounce_pages if atlas.bounce_pages is not None else pages
+    txp, dp = _tex_table(pages)
+    txb, db = _tex_table(np.asarray(bounce, np.float32))
+    return txp, txb, (dp, db)
 
 
 # ---------------------------------------------------------------------------
@@ -439,7 +553,14 @@ def build_raygen(cam, width, height):
     return raygen
 
 
-def build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS=_RS):
+def _safe_inv(d):
+    """Sign-preserving reciprocal for slab tests (no inf/NaN lanes)."""
+    s = jnp.where(d >= 0.0, 1.0, -1.0)
+    return s / jnp.maximum(jnp.abs(d), 1e-12)
+
+
+def build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS=_RS,
+                taabb=None, trst=None, trsti=None):
     """Closest-hit builder over the Baldwin-Weber plane table ``p_ref``
     ((T, 16) rows).  VMEM-frugal: the whole (frame-row x triangle-tile)
     sweep is ONE ``fori_loop`` body, so the (TT, C) intersection
@@ -449,11 +570,130 @@ def build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS=_RS):
     through the ``rayin`` scratch so all slicing is static; the only
     dynamic slice is the tile-aligned triangle load.
 
+    ``taabb``/``trst``/``trsti`` enable per-tile AABB culling: taabb is an
+    SMEM (n_tiles, 8) [lo hi valid] table (prepare_tile_aabbs over a
+    Morton-permuted scene), trst (8, C) f32 / trsti (8, C) i32 hold the
+    per-row closest-hit state so a whole tile body can be skipped with
+    ``@pl.when`` when no lane's ray enters the tile box closer than its
+    current hit — this breaks the O(B·T) dense wall for mid-size scenes
+    (reference hierarchical-traversal role: Renderer.cu:460-561).
+
     Returns ``trace(ox, oy, oz, dx, dy, dz) -> (t, hit, u, v, tri)`` on
     (R', C) blocks; tri = -1 on miss; tie-break = lowest triangle id
     (oracle scan order)."""
     n_tri_tiles = T // TT
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (TT, C), 0)
+    culled = taabb is not None
+
+    def trace_culled(ox, oy, oz, dx, dy, dz):
+        ox, oy, oz, dx, dy, dz = jnp.broadcast_arrays(ox, oy, oz,
+                                                      dx, dy, dz)
+        rr = ox.shape[0]
+        assert rr <= RS
+        for ci, val in enumerate((ox, oy, oz, dx, dy, dz)):
+            rayin[ci * RS:ci * RS + rr, :] = val
+
+        def body(i, _):
+            k = i % n_tri_tiles
+            fresh = k == 0
+            rox = rayin[0 * RS:0 * RS + 1, :]
+            roy = rayin[1 * RS:1 * RS + 1, :]
+            roz = rayin[2 * RS:2 * RS + 1, :]
+            rdx = rayin[3 * RS:3 * RS + 1, :]
+            rdy = rayin[4 * RS:4 * RS + 1, :]
+            rdz = rayin[5 * RS:5 * RS + 1, :]
+
+            @pl.when(fresh)
+            def _reset():
+                trst[0:3, :] = jnp.concatenate(
+                    [jnp.full((1, C), _BIG, jnp.float32),
+                     jnp.zeros((2, C), jnp.float32)], axis=0)
+                trsti[0:1, :] = jnp.full((1, C), -1, jnp.int32)
+
+            t_c = trst[0:1, :]
+            # slab test vs the tile box (IntersectRayAABB role,
+            # BVH.cuh:124-165) + ordered-entry prune vs the current hit
+            ix = _safe_inv(rdx)
+            iy = _safe_inv(rdy)
+            iz = _safe_inv(rdz)
+            x0 = (taabb[k, 0] - rox) * ix
+            x1 = (taabb[k, 3] - rox) * ix
+            y0 = (taabb[k, 1] - roy) * iy
+            y1 = (taabb[k, 4] - roy) * iy
+            z0 = (taabb[k, 2] - roz) * iz
+            z1 = (taabb[k, 5] - roz) * iz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(x0, x1),
+                                         jnp.minimum(y0, y1)),
+                             jnp.maximum(jnp.minimum(z0, z1), 0.0))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(x0, x1),
+                                         jnp.maximum(y0, y1)),
+                             jnp.maximum(z0, z1))
+            poss = (tf >= tn) & (tn < t_c)
+            anyp = (jnp.max(poss.astype(jnp.float32)) > 0.0) \
+                & (taabb[k, 6] > 0.0)
+
+            @pl.when(anyp)
+            def _tile():
+                pt = p_ref[pl.ds(k * TT, TT), :]
+
+                def pc(j):
+                    return pt[:, j:j + 1]
+
+                o_n = pc(0) * rox + pc(1) * roy + pc(2) * roz + pc(3)
+                d_n = pc(0) * rdx + pc(1) * rdy + pc(2) * rdz
+                o_u = pc(4) * rox + pc(5) * roy + pc(6) * roz + pc(7)
+                d_u = pc(4) * rdx + pc(5) * rdy + pc(6) * rdz
+                o_v = pc(8) * rox + pc(9) * roy + pc(10) * roz + pc(11)
+                d_v = pc(8) * rdx + pc(9) * rdy + pc(10) * rdz
+
+                okp = jnp.abs(d_n) > 1e-12
+                t = -o_n / jnp.where(okp, d_n, 1.0)
+                uu = o_u + t * d_u
+                vv = o_v + t * d_v
+                hit = okp & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) \
+                    & (t > 1e-4)
+                t = jnp.where(hit, t, _BIG)
+                t_min = jnp.min(t, axis=0, keepdims=True)
+                at_min = (t == t_min) & (t_min < _BIG)
+                ridx = jnp.min(jnp.where(at_min, row_iota, 2 ** 30),
+                               axis=0, keepdims=True)
+                first = at_min & (row_iota == ridx)
+                u_k = jnp.sum(jnp.where(first, uu, 0.0), axis=0,
+                              keepdims=True)
+                v_k = jnp.sum(jnp.where(first, vv, 0.0), axis=0,
+                              keepdims=True)
+
+                tc = trst[0:1, :]
+                uc = trst[1:2, :]
+                vc = trst[2:3, :]
+                tric = trsti[0:1, :]
+                better = t_min < tc
+                trst[0:3, :] = jnp.concatenate(
+                    [jnp.where(better, t_min, tc),
+                     jnp.where(better, u_k, uc),
+                     jnp.where(better, v_k, vc)], axis=0)
+                trsti[0:1, :] = jnp.where(better, ridx + k * TT, tric)
+
+            @pl.when(k == n_tri_tiles - 1)
+            def _append():
+                trout[:] = jnp.concatenate(
+                    [trout[1:RS], trst[0:1, :], trout[RS + 1:2 * RS],
+                     trst[1:2, :], trout[2 * RS + 1:], trst[2:3, :]],
+                    axis=0)
+                trouti[:] = jnp.concatenate([trouti[1:], trsti[0:1, :]],
+                                            axis=0)
+                rayin[:] = jnp.concatenate(
+                    [_rot_block(rayin[ci * RS:(ci + 1) * RS])
+                     for ci in range(6)], axis=0)
+
+            return 0
+
+        jax.lax.fori_loop(0, rr * n_tri_tiles, body, 0, unroll=False)
+        t = trout[RS - rr:RS, :]
+        u = trout[2 * RS - rr:2 * RS, :]
+        v = trout[3 * RS - rr:3 * RS, :]
+        tri = trouti[RS - rr:RS, :]
+        return t, t < _BIG, u, v, tri
 
     def trace(ox, oy, oz, dx, dy, dz):
         ox, oy, oz, dx, dy, dz = jnp.broadcast_arrays(ox, oy, oz,
@@ -534,7 +774,119 @@ def build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS=_RS):
         tri = trouti[RS - rr:RS, :]
         return t, t < _BIG, u, v, tri
 
-    return trace
+    return trace_culled if culled else trace
+
+
+def build_shadow_trace(p_ref, rayin, distst, occst, occout, C, TT, T,
+                       RS=_RS, taabb=None):
+    """Occlusion-only trace for fixed-length visibility segments.
+
+    Returns ``visible(ox, oy, oz, dx, dy, dz, dist) -> (R', C) bool``:
+    true when the segment's target surface is the first thing hit — no hit
+    with t < dist−tol AND some hit with |t − dist| ≤ tol, where tol =
+    max(1e-4, dist·1e-3).  Exactly the wavefront ReSTIR GI acceptance
+    (|t_closest − dist| ≤ tol) in shadow form, but cheaper than a
+    closest-hit trace: no argmin/uv/id bookkeeping, and with ``taabb``
+    tiles are skipped when beyond the segment, off the ray, or once every
+    lane is already occluded (per-lane early-out).
+    Scratches: distst (RS, C) f32, occst (8, C) f32 (rows: blocked,
+    reached), occout (RS, C) f32 rotating results."""
+    n_tri_tiles = T // TT
+    culled = taabb is not None
+
+    def visible(ox, oy, oz, dx, dy, dz, dist):
+        ox, oy, oz, dx, dy, dz, dist = jnp.broadcast_arrays(
+            ox, oy, oz, dx, dy, dz, dist)
+        rr = ox.shape[0]
+        assert rr <= RS
+        for ci, val in enumerate((ox, oy, oz, dx, dy, dz)):
+            rayin[ci * RS:ci * RS + rr, :] = val
+        distst[0:rr, :] = dist
+
+        def body(i, _):
+            k = i % n_tri_tiles
+            fresh = k == 0
+            rox = rayin[0 * RS:0 * RS + 1, :]
+            roy = rayin[1 * RS:1 * RS + 1, :]
+            roz = rayin[2 * RS:2 * RS + 1, :]
+            rdx = rayin[3 * RS:3 * RS + 1, :]
+            rdy = rayin[4 * RS:4 * RS + 1, :]
+            rdz = rayin[5 * RS:5 * RS + 1, :]
+            dr = distst[0:1, :]
+            tol = jnp.maximum(1e-4, dr * 1e-3)
+            lim_lo = dr - tol
+            lim_hi = dr + tol
+
+            @pl.when(fresh)
+            def _reset():
+                occst[0:2, :] = jnp.zeros((2, C), jnp.float32)
+
+            def tile_scan():
+                pt = p_ref[pl.ds(k * TT, TT), :]
+
+                def pc(j):
+                    return pt[:, j:j + 1]
+
+                o_n = pc(0) * rox + pc(1) * roy + pc(2) * roz + pc(3)
+                d_n = pc(0) * rdx + pc(1) * rdy + pc(2) * rdz
+                o_u = pc(4) * rox + pc(5) * roy + pc(6) * roz + pc(7)
+                d_u = pc(4) * rdx + pc(5) * rdy + pc(6) * rdz
+                o_v = pc(8) * rox + pc(9) * roy + pc(10) * roz + pc(11)
+                d_v = pc(8) * rdx + pc(9) * rdy + pc(10) * rdz
+                okp = jnp.abs(d_n) > 1e-12
+                t = -o_n / jnp.where(okp, d_n, 1.0)
+                uu = o_u + t * d_u
+                vv = o_v + t * d_v
+                hit = okp & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) \
+                    & (t > 1e-4)
+                blk = jnp.max(jnp.where(hit & (t < lim_lo), 1.0, 0.0),
+                              axis=0, keepdims=True)
+                rch = jnp.max(jnp.where(hit & (t >= lim_lo) & (t <= lim_hi),
+                                        1.0, 0.0), axis=0, keepdims=True)
+                occst[0:2, :] = jnp.concatenate(
+                    [jnp.maximum(occst[0:1, :], blk),
+                     jnp.maximum(occst[1:2, :], rch)], axis=0)
+
+            if culled:
+                blocked = occst[0:1, :]
+                ix = _safe_inv(rdx)
+                iy = _safe_inv(rdy)
+                iz = _safe_inv(rdz)
+                x0 = (taabb[k, 0] - rox) * ix
+                x1 = (taabb[k, 3] - rox) * ix
+                y0 = (taabb[k, 1] - roy) * iy
+                y1 = (taabb[k, 4] - roy) * iy
+                z0 = (taabb[k, 2] - roz) * iz
+                z1 = (taabb[k, 5] - roz) * iz
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(x0, x1),
+                                             jnp.minimum(y0, y1)),
+                                 jnp.maximum(jnp.minimum(z0, z1), 0.0))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(x0, x1),
+                                             jnp.maximum(y0, y1)),
+                                 jnp.maximum(z0, z1))
+                poss = (tf >= tn) & (tn <= lim_hi) & (blocked < 0.5)
+                anyp = (jnp.max(poss.astype(jnp.float32)) > 0.0) \
+                    & (taabb[k, 6] > 0.0)
+                pl.when(anyp)(tile_scan)
+            else:
+                tile_scan()
+
+            @pl.when(k == n_tri_tiles - 1)
+            def _append():
+                vis = jnp.where((occst[0:1, :] < 0.5)
+                                & (occst[1:2, :] > 0.5), 1.0, 0.0)
+                occout[:] = jnp.concatenate([occout[1:RS], vis], axis=0)
+                rayin[:] = jnp.concatenate(
+                    [_rot_block(rayin[ci * RS:(ci + 1) * RS])
+                     for ci in range(6)], axis=0)
+                distst[:] = _rot_block(distst[:])
+
+            return 0
+
+        jax.lax.fori_loop(0, rr * n_tri_tiles, body, 0, unroll=False)
+        return occout[RS - rr:RS, :] > 0.5
+
+    return visible
 
 
 def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX):
@@ -574,19 +926,103 @@ def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX):
     return lookup
 
 
-def build_surf_lookup(tri_rows):
-    """Hit-surface attributes + interpolated shading normal from a
-    ``tri_rows(idx, rows)`` fetcher."""
+def build_tex_lookup(txin, txbank, C, RS=_RS):
+    """Bilinear atlas fetch builder over a ``_tex_table`` layout.
 
-    def surf_lookup(tri_idx, u, v):
-        rw = tri_rows(tri_idx, _SURF_ROWS)
+    Returns ``fetch(table_ref, kh_pad, h, w, page, u, v) -> (r, g, b)`` on
+    (R', C) blocks.  The y-lerp rides a WEIGHTED one-hot ((1-ay) at row
+    page·h+y0, ay at row page·h+y1) so one (3w, khp) @ (khp, C) MXU matmul
+    returns the y-interpolated x-row per lane; the x-lerp is a weighted
+    masked sublane reduce.  page < 0 yields zeros (negative row index
+    matches nothing) — callers select flat albedo on those lanes.  Same
+    rotating-scratch discipline as build_rows_lookup (one row's one-hot
+    live at a time)."""
+
+    def fetch(table_ref, kh_pad, h, w, page, u, v):
+        page, u, v = jnp.broadcast_arrays(page, u, v)
+        rr = u.shape[0]
+        txin[0 * RS:0 * RS + rr, :] = u
+        txin[1 * RS:1 * RS + rr, :] = v
+        txin[2 * RS:2 * RS + rr, :] = page
+
+        def body(g, _):
+            ug = txin[0:1, :]
+            vg = txin[RS:RS + 1, :]
+            pgi = txin[2 * RS:2 * RS + 1, :].astype(jnp.int32)
+            fx = (ug % 1.0) * float(w - 1)
+            fy = (vg % 1.0) * float(h - 1)
+            x0f = jnp.floor(fx)
+            y0f = jnp.floor(fy)
+            ax = fx - x0f
+            ay = fy - y0f
+            x0 = x0f.astype(jnp.int32)
+            y0 = y0f.astype(jnp.int32)
+            x1 = jnp.minimum(x0 + 1, w - 1)
+            y1 = jnp.minimum(y0 + 1, h - 1)
+            r0 = pgi * h + y0
+            r1 = pgi * h + y1
+
+            iota_kh = jax.lax.broadcasted_iota(jnp.int32, (kh_pad, C), 0)
+            oh = jnp.where(iota_kh == r0, 1.0 - ay, 0.0) \
+                + jnp.where(iota_kh == r1, ay, 0.0)
+            blk = jnp.dot(table_ref[:], oh,
+                          preferred_element_type=jnp.float32)
+            n_rows = blk.shape[0]     # 3w rounded up to a sublane multiple
+            iota_r = jax.lax.broadcasted_iota(jnp.int32, (n_rows, C), 0)
+            outs = []
+            for c in range(3):
+                wm = jnp.where(iota_r == c * w + x0, 1.0 - ax, 0.0) \
+                    + jnp.where(iota_r == c * w + x1, ax, 0.0)
+                outs.append(jnp.sum(wm * blk, axis=0, keepdims=True))
+            txbank[:] = jnp.concatenate(
+                [txbank[0 * RS + 1:1 * RS], outs[0],
+                 txbank[1 * RS + 1:2 * RS], outs[1],
+                 txbank[2 * RS + 1:3 * RS], outs[2]], axis=0)
+            txin[:] = jnp.concatenate(
+                [_rot_block(txin[ci * RS:(ci + 1) * RS]) for ci in range(3)],
+                axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, rr, body, 0, unroll=False)
+        return (txbank[1 * RS - rr:1 * RS, :],
+                txbank[2 * RS - rr:2 * RS, :],
+                txbank[3 * RS - rr:3 * RS, :])
+
+    return fetch
+
+
+def build_surf_lookup(tri_rows, tex=None):
+    """Hit-surface attributes + interpolated shading normal from a
+    ``tri_rows(idx, rows)`` fetcher.
+
+    ``tex``: optional dict(fetch, txp, txb, shapes) built from
+    ``build_tex_lookup``/``prepare_texture_tables`` — when given, lanes
+    whose material has an albedo map get a bilinear atlas fetch at the
+    interpolated hit UV, reading the primary level (``bounce=False``) or
+    the prefiltered bounce level (TextureAtlas policy; matches the
+    wavefront's fetch_albedo, Renderer.cu:609-621)."""
+    textured = tex is not None
+
+    def surf_lookup(tri_idx, u, v, bounce=False):
+        rw = tri_rows(tri_idx, _SURF_TEX_ROWS if textured else _SURF_ROWS)
         w = 1.0 - u - v
         nx = w * rw[_A_N0] + u * rw[_A_N1] + v * rw[_A_N2]
         ny = w * rw[_A_N0 + 1] + u * rw[_A_N1 + 1] + v * rw[_A_N2 + 1]
         nz = w * rw[_A_N0 + 2] + u * rw[_A_N1 + 2] + v * rw[_A_N2 + 2]
         nx, ny, nz = _norm3(nx, ny, nz)
+        alb = (rw[_A_ALBEDO], rw[_A_ALBEDO + 1], rw[_A_ALBEDO + 2])
+        if textured:
+            uvx = w * rw[_A_UV0] + u * rw[_A_UV1] + v * rw[_A_UV2]
+            uvy = w * rw[_A_UV0 + 1] + u * rw[_A_UV1 + 1] + v * rw[_A_UV2 + 1]
+            page = rw[_A_TEXPAGE]
+            ref, (kh, h, tw) = ((tex["txb"], tex["shapes"][1]) if bounce
+                                else (tex["txp"], tex["shapes"][0]))
+            tr, tg, tb = tex["fetch"](ref, kh, h, tw, page, uvx, uvy)
+            has = page >= 0.0
+            alb = (jnp.where(has, tr, alb[0]), jnp.where(has, tg, alb[1]),
+                   jnp.where(has, tb, alb[2]))
         return dict(
-            alb=(rw[_A_ALBEDO], rw[_A_ALBEDO + 1], rw[_A_ALBEDO + 2]),
+            alb=alb,
             em=(rw[_A_EMISSION], rw[_A_EMISSION + 1], rw[_A_EMISSION + 2]),
             rough=rw[_A_ROUGH], metal=rw[_A_METAL], area=rw[_A_AREA],
             leaf=rw[_A_LEAF].astype(jnp.int32), nx=nx, ny=ny, nz=nz)
@@ -639,6 +1075,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                     sampler: str = "cosine", n_light_nodes: int = 0,
                     light_depth: int = 1, frame_group: int = 1,
                     ray_lanes: int = RAY_LANES, tri_tile: int = TRI_TILE,
+                    tex_shapes=None, cull: bool | None = None,
                     interpret: bool = False):
     """Build the jitted megakernel renderer for a fixed configuration.
 
@@ -647,9 +1084,15 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
     Renderer.cu:1411-1626).  For 'nee', ``n_light_nodes``/``light_depth``
     size the node table and the static descent depth.  ``frame_group`` =
     frames per sublane block R (must divide ``n_frames``; 8 = full vreg).
+    ``tex_shapes``: the static dims pair from ``prepare_texture_tables``
+    to enable in-kernel albedo maps (None = untextured scene).
+    ``cull``: per-tile AABB culling in the trace loop; requires tables
+    built from a Morton-permuted scene + a ``prepare_tile_aabbs`` table.
+    None = auto (on when the scene spans >= 8 intersection tiles).
 
-    Returns ``render(cam_mats, P, AT, frame0[, L]) -> (B, 3)``:
-    HDR summed over ``n_frames``; cam_mats = stack([inv_proj, inv_view]).
+    Returns ``render(cam_mats, P, AT, frame0[, L][, TXP, TXB][, TAABB])
+    -> (B, 3)``: HDR summed over ``n_frames``;
+    cam_mats = stack([inv_proj, inv_view]).
     """
     B = width * height
     C = ray_lanes
@@ -660,6 +1103,10 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
     T = n_tris + ((-n_tris) % TT)
     sky = tuple(float(c) for c in sky_color)
     nee = sampler == "nee"
+    textured = tex_shapes is not None
+    n_tri_tiles = T // TT
+    if cull is None:
+        cull = n_tri_tiles >= 8
     NL = max(((n_light_nodes + 127) // 128) * 128, 128)
 
     RS = 8           # scratch row geometry (one full sublane tile), ≥ R
@@ -669,25 +1116,40 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
     NR_MAX = 30      # widest row fetch (len(_DESC_ROWS) > len(_SURF_ROWS))
 
     def kernel(*refs):
-        if nee:
-            (cam_ref, frame_ref, p_ref, a_ref, l_ref, out_ref,
-             rayin, trout, trouti, lkin, bank) = refs
-        else:
-            (cam_ref, frame_ref, p_ref, a_ref, out_ref,
-             rayin, trout, trouti, lkin, bank) = refs
+        refs = list(refs)
+        cam_ref = refs.pop(0)
+        frame_ref = refs.pop(0)
+        p_ref = refs.pop(0)
+        a_ref = refs.pop(0)
+        l_ref = refs.pop(0) if nee else None
+        txp_ref = refs.pop(0) if textured else None
+        txb_ref = refs.pop(0) if textured else None
+        taabb_ref = refs.pop(0) if cull else None
+        out_ref = refs.pop(0)
+        rayin, trout, trouti, lkin, bank = refs[:5]
+        refs = refs[5:]
+        txin, txbank = ((refs.pop(0), refs.pop(0)) if textured
+                        else (None, None))
+        trst, trsti = ((refs.pop(0), refs.pop(0)) if cull
+                       else (None, None))
         tile = pl.program_id(0)
         cam = cam_ref[:]                   # (8, 4): inv_proj rows, inv_view rows
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
         pix = tile * C + lane              # (1, C) int32
         ox0, oy0, oz0, dx0, dy0, dz0 = build_raygen(cam, width, height)(pix)
 
-        trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS)
+        trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS,
+                            taabb=taabb_ref, trst=trst, trsti=trsti)
         _rows_lookup = build_rows_lookup(lkin, bank, C, RS, NR_MAX)
 
         def tri_rows(tri_idx, rows):
             return _rows_lookup(a_ref, T, tri_idx, rows)
 
-        surf_lookup = build_surf_lookup(tri_rows)
+        tex = None
+        if textured:
+            tex = dict(fetch=build_tex_lookup(txin, txbank, C, RS),
+                       txp=txp_ref, txb=txb_ref, shapes=tex_shapes)
+        surf_lookup = build_surf_lookup(tri_rows, tex=tex)
 
         def scatter(key, surf, vx, vy, vz):
             """Draws + sampler dispatch (render/integrators.py::_scatter)."""
@@ -845,7 +1307,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                     rad = list(rad)
                     thr = list(thr)
                     t, hit, uu, vv, tri = trace(cox, coy, coz, cdx, cdy, cdz)
-                    surf = surf_lookup(tri, uu, vv)
+                    surf = surf_lookup(tri, uu, vv, bounce=True)
                     miss = ~hit
                     for c in range(3):
                         rad[c] = rad[c] + jnp.where(active & miss,
@@ -993,7 +1455,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                     noy = hy + ny * 1e-12
                     noz = hz + nz * 1e-12
                     t, hit, uu, vv, tri = trace(nox, noy, noz, sx, sy, sz)
-                    surf2 = surf_lookup(tri, uu, vv)
+                    surf2 = surf_lookup(tri, uu, vv, bounce=True)
                     miss = ~hit
                     rad = tuple(rad[c] + jnp.where(active & miss,
                                                    thr[c] * sky[c], 0.0)
@@ -1065,15 +1527,47 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
     if nee:
         in_specs.append(pl.BlockSpec((_P_COLS, NL), full,
                                      memory_space=pltpu.VMEM))
+    if textured:
+        (khp, hp, wp), (khb, hb, wb) = tex_shapes
+        in_specs.append(pl.BlockSpec((3 * wp + (-3 * wp) % 8, khp), full,
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((3 * wb + (-3 * wb) % 8, khb), full,
+                                     memory_space=pltpu.VMEM))
+    if cull:
+        in_specs.append(pl.BlockSpec((n_tri_tiles, 8), full,
+                                     memory_space=pltpu.SMEM))
+
+    scratch_shapes = [
+        pltpu.VMEM((6 * RS, C), jnp.float32),       # rayin
+        pltpu.VMEM((3 * RS, C), jnp.float32),       # trout
+        pltpu.VMEM((RS, C), jnp.int32),             # trouti
+        pltpu.VMEM((RS, C), jnp.int32),             # lkin
+        pltpu.VMEM((NR_MAX * RS, C), jnp.float32),  # bank
+    ]
+    if textured:
+        scratch_shapes += [
+            pltpu.VMEM((3 * RS, C), jnp.float32),   # txin (u, v, page)
+            pltpu.VMEM((3 * RS, C), jnp.float32),   # txbank (r, g, b)
+        ]
+    if cull:
+        scratch_shapes += [
+            pltpu.VMEM((RS, C), jnp.float32),       # trst (t, u, v)
+            pltpu.VMEM((RS, C), jnp.int32),         # trsti (tri)
+        ]
 
     @jax.jit
-    def render(cam_mats, P, AT, frame0, L=None):
+    def render(cam_mats, P, AT, frame0, L=None, TXP=None, TXB=None,
+               TAABB=None):
         args = [cam_mats, frame0, P, AT]
         if nee:
             Lp = L
             if Lp.shape[1] < NL:
                 Lp = jnp.pad(Lp, ((0, 0), (0, NL - Lp.shape[1])))
             args.append(Lp)
+        if textured:
+            args.extend([TXP, TXB])
+        if cull:
+            args.append(TAABB)
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -1081,13 +1575,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
             out_specs=pl.BlockSpec((8, C), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((8 * (B // C), C), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((6 * RS, C), jnp.float32),       # rayin
-                pltpu.VMEM((3 * RS, C), jnp.float32),       # trout
-                pltpu.VMEM((RS, C), jnp.int32),             # trouti
-                pltpu.VMEM((RS, C), jnp.int32),             # lkin
-                pltpu.VMEM((NR_MAX * RS, C), jnp.float32),  # bank
-            ],
+            scratch_shapes=scratch_shapes,
             interpret=interpret,
         )(*args)
         out = out.reshape(B // C, 8, C)[:, :3, :]
@@ -1114,6 +1602,12 @@ def _pick_frame_group(n_frames: int) -> int:
     return 1
 
 
+def scene_is_textured(scene: Scene) -> bool:
+    """True when any material actually references an atlas page."""
+    amap = np.asarray(scene.materials.albedo_map)
+    return bool((amap >= 0).any())
+
+
 def _pick_ray_lanes(num_pixels: int) -> int:
     for c in (RAY_LANES, 256, 128):
         if num_pixels % c == 0:
@@ -1122,8 +1616,8 @@ def _pick_ray_lanes(num_pixels: int) -> int:
 
 
 class MegakernelRenderer:
-    """Drop-in fast renderer: cosine-family techniques + NEE, untextured
-    scenes.
+    """Drop-in fast renderer: cosine-family techniques + NEE, textured or
+    untextured scenes.
 
     Usage::
         mk = MegakernelRenderer(scene, camera, settings)
@@ -1139,10 +1633,18 @@ class MegakernelRenderer:
         self.settings = settings
         self.frame_index = 1
         self.interpret = interpret
-        dscene = jax.tree_util.tree_map(jnp.asarray, scene)
+        # Morton-permuted triangle order: tiles become spatially compact
+        # so the in-kernel per-tile AABB cull can skip most of the scene
+        mscene, _ = morton_permuted_scene(scene)
+        self.taabb = prepare_tile_aabbs(mscene, TRI_TILE)
+        dscene = jax.tree_util.tree_map(jnp.asarray, mscene)
         self.tables = prepare_scene_tables(dscene)
         self.sampler = self.SAMPLER_OF[int(settings.technique)]
         self.light_table, self.light_depth = prepare_light_table(dscene)
+        self.tex_tables = self.tex_shapes = None
+        if scene_is_textured(scene):
+            txp, txb, self.tex_shapes = prepare_texture_tables(scene.textures)
+            self.tex_tables = (txp, txb)
         self.accum = jnp.zeros((camera.height * camera.width, 3), jnp.float32)
         self._render_cache = {}
 
@@ -1161,6 +1663,7 @@ class MegakernelRenderer:
                 frame_group=_pick_frame_group(n_frames),
                 ray_lanes=_pick_ray_lanes(
                     self.camera.width * self.camera.height),
+                tex_shapes=self.tex_shapes,
                 interpret=self.interpret)
         return self._render_cache[key]
 
@@ -1170,8 +1673,11 @@ class MegakernelRenderer:
             jnp.asarray(self.camera.inv_view)], axis=0)
         frame0 = jnp.asarray([[self.frame_index]], jnp.int32)
         P, AT = self.tables
+        txp, txb = self.tex_tables if self.tex_tables else (None, None)
         summed = self._renderer(n_frames)(cam_mats, P, AT, frame0,
-                                          L=self.light_table)
+                                          L=self.light_table,
+                                          TXP=txp, TXB=txb,
+                                          TAABB=self.taabb)
         self.accum = self.accum + summed
         self.frame_index += n_frames
         h, w = self.camera.height, self.camera.width

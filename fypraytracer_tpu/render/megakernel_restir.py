@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fypraytracer_tpu.core import rng as host_rng
 from fypraytracer_tpu.render.megakernel import (
+    _A_COLS,
     _NR_MAX,
     _RS,
     TRI_TILE,
@@ -52,8 +53,13 @@ from fypraytracer_tpu.render.megakernel import (
     build_raygen,
     build_rows_lookup,
     build_surf_lookup,
+    build_tex_lookup,
     build_trace,
+    morton_permuted_scene,
     prepare_scene_tables,
+    prepare_texture_tables,
+    prepare_tile_aabbs,
+    scene_is_textured,
 )
 from fypraytracer_tpu.scene.types import Scene
 
@@ -148,15 +154,24 @@ def _res_update(res, cand, weight, count, pdf, u, active):
 
 def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
                               n_emissive: int, e_pad: int, n_frames: int,
+                              tex_shapes=None, cull: bool = False,
                               interpret: bool = False):
-    """Build ``render(cam, P, AT, EM, frame0, state) ->
-    (summed hdr (B, 3), new_state)``."""
+    """Build ``render(cam, P, AT, EM, frame0, state[, TXP][, TAABB]) ->
+    (summed hdr (B, 3), new_state)``.
+
+    ``tex_shapes``: primary-level dims from ``prepare_texture_tables`` —
+    DI fetches albedo maps only at the primary hit (K1, mip 0); K2 reads
+    the fetched albedo back from the stage buffer.
+    ``cull``: per-tile AABB trace culling (Morton-permuted tables +
+    ``prepare_tile_aabbs`` TAABB required)."""
     B = width * height
     C = _pick_ray_lanes(B)
     TT = TRI_TILE
     T = n_tris + ((-n_tris) % TT)
     G = B // C
     RS = _RS
+    n_tiles = T // TT
+    textured = tex_shapes is not None
     sky = tuple(float(c) for c in settings.sky_color)
     M = settings.light_candidates
     N_NBR = settings.spatial_neighbors
@@ -189,18 +204,34 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
         return jnp.sqrt(jnp.maximum(acc, 0.0))
 
     # ------------------------------------------------------------------ K1
-    def k1(cam_ref, frame_ref, p_ref, a_ref, e_ref, state_ref, stage_ref,
-           rayin, trout, trouti, lkin, bank):
+    def k1(*refs):
+        refs = list(refs)
+        cam_ref, frame_ref, p_ref, a_ref, e_ref = refs[:5]
+        refs = refs[5:]
+        txp_ref = refs.pop(0) if textured else None
+        taabb_ref = refs.pop(0) if cull else None
+        state_ref, stage_ref, rayin, trout, trouti, lkin, bank = refs[:7]
+        refs = refs[7:]
+        txin, txbank = ((refs.pop(0), refs.pop(0)) if textured
+                        else (None, None))
+        trst, trsti = ((refs.pop(0), refs.pop(0)) if cull
+                       else (None, None))
         tile = pl.program_id(0)
         cam = cam_ref[:]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
         pix = tile * C + lane
         ox, oy, oz, dx, dy, dz = build_raygen(cam, width, height)(pix)
 
-        trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS)
+        trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS,
+                            taabb=taabb_ref, trst=trst, trsti=trsti)
         rows_lookup = build_rows_lookup(lkin, bank, C, RS, _NR_MAX)
+        tex = None
+        if textured:
+            tex = dict(fetch=build_tex_lookup(txin, txbank, C, RS),
+                       txp=txp_ref, txb=txp_ref,
+                       shapes=(tex_shapes, tex_shapes))
         surf_lookup = build_surf_lookup(
-            lambda idx, rows: rows_lookup(a_ref, T, idx, rows))
+            lambda idx, rows: rows_lookup(a_ref, T, idx, rows), tex=tex)
 
         t0, hit0, u0, v0, tri0 = trace(ox, oy, oz, dx, dy, dz)
         surf = surf_lookup(tri0, u0, v0)
@@ -289,16 +320,22 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
         ], axis=0)
 
     # ------------------------------------------------------------------ K2
-    def k2(cam_ref, frame_ref, offs_ref, p_ref, e_ref, stage_full_ref,
-           hdr_ref, state_ref, rayin, trout, trouti, lkin, bank,
-           win0, win1, dma_sem):
+    def k2(*refs):
+        refs = list(refs)
+        cam_ref, frame_ref, offs_ref, p_ref, e_ref = refs[:5]
+        refs = refs[5:]
+        taabb_ref = refs.pop(0) if cull else None
+        (stage_full_ref, hdr_ref, state_ref, rayin, trout, trouti,
+         lkin, bank, win0, win1, dma_sem) = refs[:11]
+        trst, trsti = ((refs[11], refs[12]) if cull else (None, None))
         tile = pl.program_id(0)
         cam = cam_ref[:]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
         pix = tile * C + lane
         px_i = pix % width
         py_i = pix // width
-        trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS)
+        trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS,
+                            taabb=taabb_ref, trst=trst, trsti=trsti)
         rows_lookup = build_rows_lookup(lkin, bank, C, RS, _NR_MAX)
 
         def read_stage(q, win):
@@ -464,55 +501,88 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
         pltpu.VMEM((_NR_MAX * RS, C), jnp.float32),  # bank
     ]
 
-    def k1_call(cam, frame_arr, P, AT, EM, state):
+    def k1_call(cam, frame_arr, P, AT, EM, state, TXP=None, TAABB=None):
+        in_specs = [
+            pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
+            pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_A_COLS, T), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_E_ROWS, e_pad), full,
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [cam, frame_arr, P, AT, EM]
+        k1_scratches = list(scratches)
+        if textured:
+            khp, hp, wp = tex_shapes
+            in_specs.append(pl.BlockSpec((3 * wp + (-3 * wp) % 8, khp),
+                                         full, memory_space=pltpu.VMEM))
+            args.append(TXP)
+            k1_scratches += [
+                pltpu.VMEM((3 * RS, C), jnp.float32),   # txin
+                pltpu.VMEM((3 * RS, C), jnp.float32),   # txbank
+            ]
+        if cull:
+            in_specs.append(pl.BlockSpec((n_tiles, 8), full,
+                                         memory_space=pltpu.SMEM))
+            args.append(TAABB)
+            k1_scratches += [
+                pltpu.VMEM((RS, C), jnp.float32),       # trst
+                pltpu.VMEM((RS, C), jnp.int32),         # trsti
+            ]
+        in_specs.append(blocked(_ST_ROWS))
+        args.append(state)
         return pl.pallas_call(
             k1, grid=grid,
-            in_specs=[
-                pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
-                pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((32, T), full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((_E_ROWS, e_pad), full,
-                             memory_space=pltpu.VMEM),
-                blocked(_ST_ROWS),
-            ],
+            in_specs=in_specs,
             out_specs=blocked(_S_ROWS),
             out_shape=jax.ShapeDtypeStruct((G * _S_ROWS, C), jnp.float32),
-            scratch_shapes=list(scratches),
+            scratch_shapes=k1_scratches,
             interpret=interpret,
-        )(cam, frame_arr, P, AT, EM, state)
+        )(*args)
 
-    def k2_call(cam, frame_arr, offs, P, EM, stage):
+    def k2_call(cam, frame_arr, offs, P, EM, stage, TAABB=None):
+        in_specs = [
+            pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
+            pl.BlockSpec((max(N_NBR, 1), 2), full,
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_E_ROWS, e_pad), full,
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [cam, frame_arr, offs, P, EM]
+        k2_scratches = list(scratches) + [
+            pltpu.VMEM((_S_ROWS, C), jnp.float32),   # win0
+            pltpu.VMEM((_S_ROWS, C), jnp.float32),   # win1
+            pltpu.SemaphoreType.DMA(()),
+        ]
+        if cull:
+            in_specs.append(pl.BlockSpec((n_tiles, 8), full,
+                                         memory_space=pltpu.SMEM))
+            args.append(TAABB)
+            k2_scratches += [
+                pltpu.VMEM((RS, C), jnp.float32),    # trst
+                pltpu.VMEM((RS, C), jnp.int32),      # trsti
+            ]
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # stage (HBM)
+        args.append(stage)
         return pl.pallas_call(
             k2, grid=grid,
-            in_specs=[
-                pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
-                pl.BlockSpec((max(N_NBR, 1), 2), full,
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((_E_ROWS, e_pad), full,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),   # stage stays in HBM
-            ],
+            in_specs=in_specs,
             out_specs=[blocked(8), blocked(_ST_ROWS)],
             out_shape=[jax.ShapeDtypeStruct((G * 8, C), jnp.float32),
                        jax.ShapeDtypeStruct((G * _ST_ROWS, C), jnp.float32)],
-            scratch_shapes=list(scratches) + [
-                pltpu.VMEM((_S_ROWS, C), jnp.float32),   # win0
-                pltpu.VMEM((_S_ROWS, C), jnp.float32),   # win1
-                pltpu.SemaphoreType.DMA(()),
-            ],
+            scratch_shapes=k2_scratches,
             interpret=interpret,
-        )(cam, frame_arr, offs, P, EM, stage)
+        )(*args)
 
     @jax.jit
-    def render(cam, P, AT, EM, frame0, state):
+    def render(cam, P, AT, EM, frame0, state, TXP=None, TAABB=None):
         def body(fi, carry):
             accum, st = carry
             frame = (frame0 + fi).astype(jnp.uint32)
             frame_arr = frame.reshape(1, 1).astype(jnp.int32)
-            stage = k1_call(cam, frame_arr, P, AT, EM, st)
+            stage = k1_call(cam, frame_arr, P, AT, EM, st, TXP, TAABB)
             # frame-shared spatial offsets (see module docstring)
             okey = host_rng.path_key(jnp.uint32(0xD1CE), frame, 0,
                                      stream=7002)
@@ -523,7 +593,7 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
                 offs.append(((ux * 2.0 - 1.0) * radius).astype(jnp.int32))
                 offs.append(((uy * 2.0 - 1.0) * radius).astype(jnp.int32))
             offs = jnp.stack(offs).reshape(max(N_NBR, 1), 2)
-            hdr, st2 = k2_call(cam, frame_arr, offs, P, EM, stage)
+            hdr, st2 = k2_call(cam, frame_arr, offs, P, EM, stage, TAABB)
             return accum + hdr, st2
 
         accum0 = jnp.zeros((G * 8, C), jnp.float32)
@@ -538,13 +608,20 @@ class MegakernelReSTIRDI:
     """Offline static-camera ReSTIR DI fast path."""
 
     def __init__(self, scene: Scene, camera, settings, interpret: bool = False):
-        self.scene = jax.tree_util.tree_map(jnp.asarray, scene)
+        mscene, _ = morton_permuted_scene(scene)
+        self.taabb = prepare_tile_aabbs(mscene, TRI_TILE)
+        self.cull = self.taabb.shape[0] >= 8
+        self.scene = jax.tree_util.tree_map(jnp.asarray, mscene)
         self.camera = camera
         self.settings = settings
         self.interpret = interpret
         self.frame_index = 1
         self.tables = prepare_scene_tables(self.scene)
         self.em_table, self.n_emissive = prepare_emissive_table(self.scene)
+        self.tex_table = self.tex_shapes = None
+        if scene_is_textured(scene):
+            txp, _, shapes = prepare_texture_tables(scene.textures)
+            self.tex_table, self.tex_shapes = txp, shapes[0]
         B = camera.width * camera.height
         C = _pick_ray_lanes(B)
         self.state = jnp.zeros((B // C * _ST_ROWS, C), jnp.float32)
@@ -556,7 +633,9 @@ class MegakernelReSTIRDI:
             self._cache[n_frames] = make_restir_di_megakernel(
                 self.camera.width, self.camera.height, self.settings,
                 self.scene.geometry.tri_v.shape[0], self.n_emissive,
-                self.em_table.shape[1], n_frames, interpret=self.interpret)
+                self.em_table.shape[1], n_frames,
+                tex_shapes=self.tex_shapes, cull=self.cull,
+                interpret=self.interpret)
         return self._cache[n_frames]
 
     def render_many(self, n_frames):
@@ -565,7 +644,8 @@ class MegakernelReSTIRDI:
         P, AT = self.tables
         summed, self.state = self._renderer(n_frames)(
             cam, P, AT, self.em_table, jnp.uint32(self.frame_index),
-            self.state)
+            self.state, TXP=self.tex_table,
+            TAABB=self.taabb if self.cull else None)
         self.accum = self.accum + summed
         self.frame_index += n_frames
         h, w = self.camera.height, self.camera.width

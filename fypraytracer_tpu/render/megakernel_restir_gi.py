@@ -31,6 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fypraytracer_tpu.core import rng as host_rng
 from fypraytracer_tpu.render.megakernel import (
+    _A_COLS,
     _NR_MAX,
     _RS,
     TRI_TILE,
@@ -44,9 +45,15 @@ from fypraytracer_tpu.render.megakernel import (
     _u32,
     build_raygen,
     build_rows_lookup,
+    build_shadow_trace,
     build_surf_lookup,
+    build_tex_lookup,
     build_trace,
+    morton_permuted_scene,
     prepare_scene_tables,
+    prepare_texture_tables,
+    prepare_tile_aabbs,
+    scene_is_textured,
 )
 from fypraytracer_tpu.scene.types import Scene
 
@@ -118,15 +125,30 @@ def _rad_norm(rad):
 
 
 def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
-                              n_frames: int, interpret: bool = False):
-    """Build ``render(cam, P, AT, frame0, state) ->
-    (summed hdr (B, 3), new_state)``."""
+                              n_frames: int, tex_shapes=None,
+                              cull: bool = False,
+                              interpret: bool = False):
+    """Build ``render(cam, P, AT, frame0, state[, TXP, TXB][, TAABB]) ->
+    (summed hdr (B, 3), new_state)``.
+
+    ``tex_shapes``: dims pair from ``prepare_texture_tables`` — K1 fetches
+    albedo maps at the visible point (mip 0) and at sample-point/bounce
+    hits (bounce level), matching the wavefront restir_gi; K2 reads the
+    visible-point albedo back from the stage buffer.
+
+    ``cull``: per-tile AABB culling (tables must come from a
+    Morton-permuted scene; pass ``prepare_tile_aabbs`` as TAABB).  K2b's
+    visibility re-traces use a SHADOW trace either way (occlusion-only,
+    per-lane early-out) — the GI frame is visibility-trace-bound
+    (PERF.md), and shadow rays are short segments the cull prunes hard."""
     B = width * height
     C = _pick_ray_lanes(B)
     TT = TRI_TILE
     T = n_tris + ((-n_tris) % TT)
     G = B // C
     RS = _RS
+    n_tiles = T // TT
+    textured = tex_shapes is not None
     sky = tuple(float(c) for c in settings.sky_color)
     bounces = settings.bounces
     N_NBR = settings.spatial_neighbors
@@ -136,18 +158,34 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
     use_spatial = settings.spatial_reuse
 
     # ------------------------------------------------------------------ K1
-    def k1(cam_ref, frame_ref, p_ref, a_ref, state_ref, stage_ref,
-           rayin, trout, trouti, lkin, bank):
+    def k1(*refs):
+        refs = list(refs)
+        cam_ref, frame_ref, p_ref, a_ref = refs[:4]
+        refs = refs[4:]
+        txp_ref = refs.pop(0) if textured else None
+        txb_ref = refs.pop(0) if textured else None
+        taabb_ref = refs.pop(0) if cull else None
+        state_ref, stage_ref, rayin, trout, trouti, lkin, bank = refs[:7]
+        refs = refs[7:]
+        txin, txbank = ((refs.pop(0), refs.pop(0)) if textured
+                        else (None, None))
+        trst, trsti = ((refs.pop(0), refs.pop(0)) if cull
+                       else (None, None))
         tile = pl.program_id(0)
         cam = cam_ref[:]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
         pix = tile * C + lane
         ox, oy, oz, dx, dy, dz = build_raygen(cam, width, height)(pix)
 
-        trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS)
+        trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS,
+                            taabb=taabb_ref, trst=trst, trsti=trsti)
         rows_lookup = build_rows_lookup(lkin, bank, C, RS, _NR_MAX)
+        tex = None
+        if textured:
+            tex = dict(fetch=build_tex_lookup(txin, txbank, C, RS),
+                       txp=txp_ref, txb=txb_ref, shapes=tex_shapes)
         surf_lookup = build_surf_lookup(
-            lambda idx, rows: rows_lookup(a_ref, T, idx, rows))
+            lambda idx, rows: rows_lookup(a_ref, T, idx, rows), tex=tex)
 
         t0, hit0, u0, v0, tri0 = trace(ox, oy, oz, dx, dy, dz)
         surf0 = surf_lookup(tri0, u0, v0)
@@ -180,7 +218,7 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
 
         t1, hit1, uu1, vv1, tri1 = trace(px_ + nx * _EPS, py_ + ny * _EPS,
                                          pz_ + nz * _EPS, sx, sy, sz)
-        surf1 = surf_lookup(tri1, uu1, vv1)
+        surf1 = surf_lookup(tri1, uu1, vv1, bounce=True)
         reconnect = hit1 & (pdf0 > 0.0)
 
         # sky contribution of non-reusable paths, shaded now
@@ -230,7 +268,7 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
                 noy = hy + bny * _EPS
                 noz = hz + bnz * _EPS
                 t, hit, uu, vv, tri = trace(nox, noy, noz, lx, ly, lz)
-                surf2 = surf_lookup(tri, uu, vv)
+                surf2 = surf_lookup(tri, uu, vv, bounce=True)
                 miss = ~hit
                 rad = tuple(rad[c] + jnp.where(act & miss,
                                                thr[c] * sky[c], 0.0)
@@ -444,17 +482,20 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
         nbuf_ref[:] = jnp.concatenate(blocks, axis=0)
 
     def k2b(*refs):
-        if use_spatial and N_NBR > 0:
-            (cam_ref, frame_ref, p_ref, own_ref, nbuf_ref,
-             hdr_ref, state_ref, rayin, trout, trouti, lkin, bank) = refs
-        else:
-            (cam_ref, frame_ref, p_ref, own_ref,
-             hdr_ref, state_ref, rayin, trout, trouti, lkin, bank) = refs
+        refs = list(refs)
+        cam_ref, frame_ref, p_ref = refs[:3]
+        refs = refs[3:]
+        taabb_ref = refs.pop(0) if cull else None
+        own_ref = refs.pop(0)
+        nbuf_ref = refs.pop(0) if use_spatial and N_NBR > 0 else None
+        (hdr_ref, state_ref, rayin, distst, occst, occout) = refs
         tile = pl.program_id(0)
         cam = cam_ref[:]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
         pix = tile * C + lane
-        trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS)
+        shadow_visible = build_shadow_trace(p_ref, rayin, distst, occst,
+                                            occout, C, TT, T, RS,
+                                            taabb=taabb_ref)
 
         def row(r):
             return own_ref[r:r + 1, :]
@@ -494,14 +535,14 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
                 cat = lambda r: jnp.concatenate(
                     [nbrow(n, r) for n in grp], axis=0)
                 # batched visibility re-trace: neighbor sample point ->
-                # our visible point (Renderer.cu:2356-2366)
-                tv, _, _, _, _ = trace(cat(_NB_O), cat(_NB_O + 1),
-                                       cat(_NB_O + 2), cat(_NB_D),
-                                       cat(_NB_D + 1), cat(_NB_D + 2))
+                # our visible point (Renderer.cu:2356-2366) — shadow
+                # trace (occlusion-only, |t-dist|<=tol acceptance)
+                vis = shadow_visible(cat(_NB_O), cat(_NB_O + 1),
+                                     cat(_NB_O + 2), cat(_NB_D),
+                                     cat(_NB_D + 1), cat(_NB_D + 2),
+                                     cat(_NB_DIST))
                 for gi_, n in enumerate(grp):
-                    dist_r = nbrow(n, _NB_DIST)
-                    tol = jnp.maximum(1e-4, dist_r * 1e-3)
-                    visible = jnp.abs(tv[gi_:gi_ + 1, :] - dist_r) <= tol
+                    visible = vis[gi_:gi_ + 1, :]
                     p_n = jnp.where(visible, nbrow(n, _NB_PN), 0.0)
                     ok = nbrow(n, _NB_OK) > 0.5
                     nb_w = nbrow(n, _NB_W)
@@ -571,21 +612,45 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
         pltpu.VMEM((_NR_MAX * RS, C), jnp.float32),  # bank
     ]
 
-    def k1_call(cam, frame_arr, P, AT, state):
+    def k1_call(cam, frame_arr, P, AT, state, TXP=None, TXB=None,
+                TAABB=None):
+        in_specs = [
+            pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
+            pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_A_COLS, T), full, memory_space=pltpu.VMEM),
+        ]
+        args = [cam, frame_arr, P, AT]
+        k1_scratches = list(scratches)
+        if textured:
+            (khp, hp, wp), (khb, hb, wb) = tex_shapes
+            in_specs.append(pl.BlockSpec((3 * wp + (-3 * wp) % 8, khp),
+                                         full, memory_space=pltpu.VMEM))
+            in_specs.append(pl.BlockSpec((3 * wb + (-3 * wb) % 8, khb),
+                                         full, memory_space=pltpu.VMEM))
+            args.extend([TXP, TXB])
+            k1_scratches += [
+                pltpu.VMEM((3 * RS, C), jnp.float32),   # txin
+                pltpu.VMEM((3 * RS, C), jnp.float32),   # txbank
+            ]
+        if cull:
+            in_specs.append(pl.BlockSpec((n_tiles, 8), full,
+                                         memory_space=pltpu.SMEM))
+            args.append(TAABB)
+            k1_scratches += [
+                pltpu.VMEM((RS, C), jnp.float32),       # trst
+                pltpu.VMEM((RS, C), jnp.int32),         # trsti
+            ]
+        in_specs.append(blocked(_GST_ROWS))
+        args.append(state)
         return pl.pallas_call(
             k1, grid=grid,
-            in_specs=[
-                pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
-                pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((32, T), full, memory_space=pltpu.VMEM),
-                blocked(_GST_ROWS),
-            ],
+            in_specs=in_specs,
             out_specs=blocked(_GS_ROWS),
             out_shape=jax.ShapeDtypeStruct((G * _GS_ROWS, C), jnp.float32),
-            scratch_shapes=list(scratches),
+            scratch_shapes=k1_scratches,
             interpret=interpret,
-        )(cam, frame_arr, P, AT, state)
+        )(*args)
 
     def k2a_call(offs, stage):
         return pl.pallas_call(
@@ -607,15 +672,20 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
             interpret=interpret,
         )(offs, stage, stage)
 
-    def k2b_call(cam, frame_arr, P, stage, nbuf):
+    def k2b_call(cam, frame_arr, P, stage, nbuf, TAABB=None):
         spatial = use_spatial and N_NBR > 0
         in_specs = [
             pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
             pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
-            blocked(_GS_ROWS),                       # own tile
         ]
-        args = [cam, frame_arr, P, stage]
+        args = [cam, frame_arr, P]
+        if cull:
+            in_specs.append(pl.BlockSpec((n_tiles, 8), full,
+                                         memory_space=pltpu.SMEM))
+            args.append(TAABB)
+        in_specs.append(blocked(_GS_ROWS))          # own tile
+        args.append(stage)
         if spatial:
             in_specs.append(blocked(N_NBR * _NB_ROWS))
             args.append(nbuf)
@@ -626,17 +696,22 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
             out_shape=[jax.ShapeDtypeStruct((G * 8, C), jnp.float32),
                        jax.ShapeDtypeStruct((G * _GST_ROWS, C),
                                             jnp.float32)],
-            scratch_shapes=list(scratches),
+            scratch_shapes=[
+                pltpu.VMEM((6 * RS, C), jnp.float32),   # rayin
+                pltpu.VMEM((RS, C), jnp.float32),       # distst
+                pltpu.VMEM((8, C), jnp.float32),        # occst
+                pltpu.VMEM((RS, C), jnp.float32),       # occout
+            ],
             interpret=interpret,
         )(*args)
 
     @jax.jit
-    def render(cam, P, AT, frame0, state):
+    def render(cam, P, AT, frame0, state, TXP=None, TXB=None, TAABB=None):
         def body(fi, carry):
             accum, st = carry
             frame = (frame0 + fi).astype(jnp.uint32)
             frame_arr = frame.reshape(1, 1).astype(jnp.int32)
-            stage = k1_call(cam, frame_arr, P, AT, st)
+            stage = k1_call(cam, frame_arr, P, AT, st, TXP, TXB, TAABB)
             okey = host_rng.path_key(jnp.uint32(0xD1CE), frame, 0,
                                      stream=8002)
             offs = []
@@ -649,7 +724,7 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
             nbuf = None
             if use_spatial and N_NBR > 0:
                 nbuf = k2a_call(offs, stage)
-            hdr, st2 = k2b_call(cam, frame_arr, P, stage, nbuf)
+            hdr, st2 = k2b_call(cam, frame_arr, P, stage, nbuf, TAABB)
             return accum + hdr, st2
 
         accum0 = jnp.zeros((G * 8, C), jnp.float32)
@@ -664,12 +739,18 @@ class MegakernelReSTIRGI:
     """Offline static-camera ReSTIR GI fast path."""
 
     def __init__(self, scene: Scene, camera, settings, interpret: bool = False):
-        self.scene = jax.tree_util.tree_map(jnp.asarray, scene)
+        mscene, _ = morton_permuted_scene(scene)
+        self.taabb = prepare_tile_aabbs(mscene, TRI_TILE)
+        self.scene = jax.tree_util.tree_map(jnp.asarray, mscene)
         self.camera = camera
         self.settings = settings
         self.interpret = interpret
         self.frame_index = 1
         self.tables = prepare_scene_tables(self.scene)
+        self.tex_tables = self.tex_shapes = None
+        if scene_is_textured(scene):
+            txp, txb, self.tex_shapes = prepare_texture_tables(scene.textures)
+            self.tex_tables = (txp, txb)
         B = camera.width * camera.height
         C = _pick_ray_lanes(B)
         self.state = jnp.zeros((B // C * _GST_ROWS, C), jnp.float32)
@@ -681,6 +762,7 @@ class MegakernelReSTIRGI:
             self._cache[n_frames] = make_restir_gi_megakernel(
                 self.camera.width, self.camera.height, self.settings,
                 self.scene.geometry.tri_v.shape[0], n_frames,
+                tex_shapes=self.tex_shapes, cull=True,
                 interpret=self.interpret)
         return self._cache[n_frames]
 
@@ -688,8 +770,10 @@ class MegakernelReSTIRGI:
         cam = jnp.concatenate([jnp.asarray(self.camera.inv_projection),
                                jnp.asarray(self.camera.inv_view)], axis=0)
         P, AT = self.tables
+        txp, txb = self.tex_tables if self.tex_tables else (None, None)
         summed, self.state = self._renderer(n_frames)(
-            cam, P, AT, jnp.uint32(self.frame_index), self.state)
+            cam, P, AT, jnp.uint32(self.frame_index), self.state,
+            TXP=txp, TXB=txb, TAABB=self.taabb)
         self.accum = self.accum + summed
         self.frame_index += n_frames
         h, w = self.camera.height, self.camera.width
