@@ -26,9 +26,10 @@ def main():
         _RS, TRI_TILE, _pick_ray_lanes, build_raygen, build_trace,
         prepare_scene_tables)
     tt_env = int(os.environ.get("PROBE_TT", "0"))
-    from fypraytracer_tpu.scene.procedural import cornell_box
+    from fypraytracer_tpu.scene.sceneio import builtin_scene
 
-    builder, cam = cornell_box(width=256, height=256)
+    scene_name = os.environ.get("PROBE_SCENE", "cornell")
+    builder, cam = builtin_scene(scene_name, 256, 256)
     scene = builder.compile()
     dscene = jax.tree_util.tree_map(jnp.asarray, scene)
     P, AT = prepare_scene_tables(dscene)
@@ -48,6 +49,10 @@ def main():
     # frames as an OUTER fori of one-pallas_call-per-frame (the ReSTIR
     # K2b shape) instead of an in-kernel frame loop (the NEE shape)
     outer = bool(int(os.environ.get("PROBE_OUTER", "0")))
+    # feed the previous trace's t back into the next rays — forces real
+    # serial execution (no hoisting/DCE of "loop-invariant" rays), the
+    # shape real kernels have
+    feedback = bool(int(os.environ.get("PROBE_FEEDBACK", "0")))
 
     def kernel(*krefs):
         if blocked_rows:
@@ -91,6 +96,24 @@ def main():
                 acc = one_rep(wob0 + rep * 1e-6, acc)
             out_ref[:] = jnp.concatenate(
                 [acc, jnp.zeros((7, C), jnp.float32)], axis=0)
+            return
+
+        if feedback:
+            def fb_body(fi, acc):
+                a = acc
+                for rep in range(reps):
+                    z = jnp.zeros((rr, C), jnp.float32)
+                    fb = a * 1e-9
+                    t, _, _, _, _ = trace(z + ox, z + oy, z + oz,
+                                          z + dx + fb, z + dy, z + dz)
+                    a = a + jnp.sum(jnp.minimum(t, 1e6), axis=0,
+                                    keepdims=True)
+                return a
+
+            accf = jax.lax.fori_loop(0, frame_ref[0, 0], fb_body,
+                                     jnp.zeros((1, C), jnp.float32))
+            out_ref[:] = jnp.concatenate(
+                [accf, jnp.zeros((7, C), jnp.float32)], axis=0)
             return
 
         def frame_body(fi, acc):

@@ -46,11 +46,16 @@ odd configurations.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# unroll factor of the trace fori (perf experiment knob; 1 = no unroll)
+_TRACE_UNROLL = int(os.environ.get("FYP_TRACE_UNROLL", "1"))
 
 from fypraytracer_tpu.scene.types import Scene
 
@@ -688,7 +693,8 @@ def build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS=_RS,
 
             return 0
 
-        jax.lax.fori_loop(0, rr * n_tri_tiles, body, 0, unroll=False)
+        jax.lax.fori_loop(0, rr * n_tri_tiles, body, 0,
+                          unroll=_TRACE_UNROLL if _TRACE_UNROLL > 1 else False)
         t = trout[RS - rr:RS, :]
         u = trout[2 * RS - rr:2 * RS, :]
         v = trout[3 * RS - rr:3 * RS, :]
@@ -767,7 +773,7 @@ def build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS=_RS,
         z1 = jnp.zeros((1, C), jnp.float32)
         jax.lax.fori_loop(0, rr * n_tri_tiles, body,
                           (z1, z1, z1, jnp.zeros((1, C), jnp.int32)),
-                          unroll=False)
+                          unroll=_TRACE_UNROLL if _TRACE_UNROLL > 1 else False)
         t = trout[RS - rr:RS, :]
         u = trout[2 * RS - rr:2 * RS, :]
         v = trout[3 * RS - rr:3 * RS, :]
@@ -883,19 +889,28 @@ def build_shadow_trace(p_ref, rayin, distst, occst, occout, C, TT, T,
 
             return 0
 
-        jax.lax.fori_loop(0, rr * n_tri_tiles, body, 0, unroll=False)
+        jax.lax.fori_loop(0, rr * n_tri_tiles, body, 0,
+                          unroll=_TRACE_UNROLL if _TRACE_UNROLL > 1 else False)
         return occout[RS - rr:RS, :] > 0.5
 
     return visible
 
 
-def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX):
+def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX,
+                      chunk: int = 0):
     """One-hot MXU table-row fetch builder.  Returns
     ``lookup(table_ref, n_entries, idx, rows) -> {row: (R', C)}``;
     id = -1 fetches zeros.  One frame row's one-hot is live at a time
     (fori body + rotating bank -- see build_trace VMEM note).  All
     concatenation is along dim 0 (sublanes): lane-axis concat of row
-    slices with differing sublane offsets does not lower in Mosaic."""
+    slices with differing sublane offsets does not lower in Mosaic.
+
+    ``chunk`` > 0 accumulates the matmul over lane-tile chunks so the
+    scoped one-hot stays at (chunk, C).  Measured on v5e (probe_lookup):
+    the monolithic one-hot costs 0.018 ms/fetch at T=1280 and 0.50 ms at
+    T=7680; chunking at 2048 made T=7680 WORSE (1.35 ms) — per-chunk fori
+    overhead dominates — so chunking stays opt-in (chunk=0 default) until
+    a faster big-table fetch exists."""
 
     def bank_append(pieces):
         segs = []
@@ -908,13 +923,34 @@ def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX):
     def lookup(table_ref, n_entries, idx, rows):
         rr = idx.shape[0]
         lkin[0:rr, :] = idx
+        k_rows = table_ref.shape[0]
+        if chunk and n_entries > chunk:
+            n_chunks = -(-n_entries // chunk)
+            while n_entries % n_chunks:
+                n_chunks += 1
+            csz = n_entries // n_chunks
+        else:
+            n_chunks, csz = 1, n_entries
 
         def body(g, _):
             idxg = lkin[0:1, :]
-            iota_t = jax.lax.broadcasted_iota(jnp.int32, (n_entries, C), 0)
-            oh = (iota_t == idxg).astype(jnp.float32)
-            at = jnp.dot(table_ref[:], oh,
-                         preferred_element_type=jnp.float32)
+            if n_chunks == 1:
+                iota_t = jax.lax.broadcasted_iota(jnp.int32, (csz, C), 0)
+                oh = (iota_t == idxg).astype(jnp.float32)
+                at = jnp.dot(table_ref[:], oh,
+                             preferred_element_type=jnp.float32)
+            else:
+                def cbody(q, acc):
+                    iota_t = jax.lax.broadcasted_iota(
+                        jnp.int32, (csz, C), 0) + q * csz
+                    oh = (iota_t == idxg).astype(jnp.float32)
+                    return acc + jnp.dot(
+                        table_ref[:, pl.ds(q * csz, csz)], oh,
+                        preferred_element_type=jnp.float32)
+
+                at = jax.lax.fori_loop(
+                    0, n_chunks, cbody,
+                    jnp.zeros((k_rows, C), jnp.float32), unroll=False)
             bank_append([at[r:r + 1, :] for r in rows])
             lkin[:] = jnp.concatenate([lkin[1:], lkin[0:1]], axis=0)
             return 0

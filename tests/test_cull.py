@@ -69,6 +69,28 @@ def test_culled_trace_bit_identical(multi_tile):
     np.testing.assert_array_equal(a, b)
 
 
+def test_chunked_lookup_parity():
+    """Scenes past the lookup chunk size (2048 entries) exercise the
+    chunk-accumulated one-hot fetch; output must still match the
+    wavefront at matched seeds."""
+    from fypraytracer_tpu.render.megakernel import MegakernelRenderer
+    from fypraytracer_tpu.render.renderer import Renderer
+
+    builder, cam = cornell_box(width=32, height=32, sphere_res=(26, 44))
+    scene = builder.compile()
+    assert scene.geometry.tri_v.shape[0] > 2048
+    settings = RenderSettings(technique=SamplingTechnique.COSINE, bounces=1,
+                              samples=1, sky_color=(0.1, 0.15, 0.2))
+    r = Renderer(scene, cam, settings)
+    for _ in range(2):
+        ref = r.render_hdr()
+    mk = MegakernelRenderer(scene, cam, settings, interpret=True)
+    got = np.asarray(mk.render_many(2))
+    diff = np.abs(got - np.asarray(ref))
+    assert float(np.median(diff)) < 1e-5
+    assert (diff.max(axis=-1) > 1e-3).mean() < 0.02
+
+
 def test_renderer_with_morton_matches_wavefront():
     """End-to-end: MegakernelRenderer (now Morton-permuted) still matches
     the wavefront renderer at matched seeds (tie-flips at shared edges are
