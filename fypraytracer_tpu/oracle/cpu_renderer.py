@@ -47,8 +47,16 @@ def make_linear_trace(geometry: Geometry, chunk: int = 4096):
     return trace
 
 
-def render_oracle(scene: Scene, camera: Camera, settings, frame: int) -> np.ndarray:
-    """One frame of HDR radiance, (H, W, 3) float32, pure NumPy."""
+def render_oracle(scene: Scene, camera: Camera, settings, frame: int,
+                  state=None) -> np.ndarray:
+    """One frame of HDR radiance, (H, W, 3) float32, pure NumPy.
+
+    For ReSTIR techniques (7/8) pass ``state`` (or None for frame-1
+    reservoirs) — or use ``render_oracle_restir`` for a stateful
+    multi-frame run.  The ReSTIR modules are backend-generic, so the
+    oracle drives the *same* estimator code as the jitted path but with
+    the linear NumPy intersector — seed-matched parity pins tracer and
+    jit behavior, not just statistics."""
     origins, directions = generate_rays(camera.inv_projection, camera.inv_view,
                                         camera.width, camera.height, xp=np)
     origins = origins.astype(np.float32)
@@ -67,9 +75,48 @@ def render_oracle(scene: Scene, camera: Camera, settings, frame: int) -> np.ndar
     elif t == 6:
         hdr = radiance_nee_mis(scene, trace, origins, directions, pixel_ids,
                                f, settings)
+    elif t in (7, 8):
+        hdr, _ = _restir_frame(scene, trace, origins, directions, pixel_ids,
+                               f, settings, state, camera)
     else:
         raise NotImplementedError(f"oracle for technique {t} pending")
     return np.asarray(hdr, np.float32).reshape(camera.height, camera.width, 3)
+
+
+def _restir_frame(scene, trace, origins, directions, pixel_ids, f, settings,
+                  state, camera):
+    from fypraytracer_tpu.render import restir_di, restir_gi
+
+    mod = restir_di if int(settings.technique) == 7 else restir_gi
+    n = camera.width * camera.height
+    if state is None:
+        state = mod.init_state(n)
+    fn = (restir_di.render_restir_di if int(settings.technique) == 7
+          else restir_gi.render_restir_gi)
+    return fn(scene, trace, origins, directions, pixel_ids, f, settings,
+              state, camera.width, camera.height,
+              np.asarray(camera.prev_proj_view, np.float32))
+
+
+def render_oracle_restir(scene: Scene, camera: Camera, settings,
+                         frames: int) -> np.ndarray:
+    """Averaged ReSTIR render over ``frames`` frames with persistent
+    reservoir state (the stateful loop of Renderer.render_hdr), pure
+    NumPy + linear intersector."""
+    origins, directions = generate_rays(camera.inv_projection, camera.inv_view,
+                                        camera.width, camera.height, xp=np)
+    origins = origins.astype(np.float32)
+    directions = directions.astype(np.float32)
+    trace = make_linear_trace(scene.geometry)
+    pixel_ids = np.arange(camera.width * camera.height, dtype=np.uint32)
+    state = None
+    acc = np.zeros((camera.height, camera.width, 3), np.float32)
+    for f in range(1, frames + 1):
+        hdr, state = _restir_frame(scene, trace, origins, directions,
+                                   pixel_ids, np.uint32(f), settings, state,
+                                   camera)
+        acc += np.asarray(hdr, np.float32).reshape(acc.shape)
+    return acc / frames
 
 
 def accumulate_oracle(scene: Scene, camera: Camera, settings, frames: int) -> np.ndarray:

@@ -693,8 +693,7 @@ def build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS=_RS,
 
             return 0
 
-        jax.lax.fori_loop(0, rr * n_tri_tiles, body, 0,
-                          unroll=_TRACE_UNROLL if _TRACE_UNROLL > 1 else False)
+        jax.lax.fori_loop(0, rr * n_tri_tiles, body, 0, unroll=False)
         t = trout[RS - rr:RS, :]
         u = trout[2 * RS - rr:2 * RS, :]
         v = trout[3 * RS - rr:3 * RS, :]
@@ -711,7 +710,7 @@ def build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS=_RS,
         for ci, val in enumerate((ox, oy, oz, dx, dy, dz)):
             rayin[ci * RS:ci * RS + rr, :] = val
 
-        def body(i, carry):
+        def tile_step(i, carry):
             t_c, u_c, v_c, tri_c = carry
             k = i % n_tri_tiles
             fresh = k == 0
@@ -770,10 +769,21 @@ def build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS=_RS,
 
             return t_n, u_n, v_n, tri_n
 
+        total = rr * n_tri_tiles
+        U = _TRACE_UNROLL if (_TRACE_UNROLL > 1
+                              and total % _TRACE_UNROLL == 0) else 1
+
+        def body(i, carry):
+            # manual partial unroll: Mosaic's scan lowering only supports
+            # full-or-no unroll, so U tile-steps ride one fori iteration
+            for uu in range(U):
+                carry = tile_step(i * U + uu, carry)
+            return carry
+
         z1 = jnp.zeros((1, C), jnp.float32)
-        jax.lax.fori_loop(0, rr * n_tri_tiles, body,
+        jax.lax.fori_loop(0, total // U, body,
                           (z1, z1, z1, jnp.zeros((1, C), jnp.int32)),
-                          unroll=_TRACE_UNROLL if _TRACE_UNROLL > 1 else False)
+                          unroll=False)
         t = trout[RS - rr:RS, :]
         u = trout[2 * RS - rr:2 * RS, :]
         v = trout[3 * RS - rr:3 * RS, :]
@@ -889,8 +899,7 @@ def build_shadow_trace(p_ref, rayin, distst, occst, occout, C, TT, T,
 
             return 0
 
-        jax.lax.fori_loop(0, rr * n_tri_tiles, body, 0,
-                          unroll=_TRACE_UNROLL if _TRACE_UNROLL > 1 else False)
+        jax.lax.fori_loop(0, rr * n_tri_tiles, body, 0, unroll=False)
         return occout[RS - rr:RS, :] > 0.5
 
     return visible
