@@ -21,9 +21,10 @@ def main():
                                                     make_megakernel,
                                                     prepare_scene_tables,
                                                     prepare_light_table)
-    from fypraytracer_tpu.scene.procedural import cornell_box
+    from fypraytracer_tpu.scene.sceneio import builtin_scene
 
-    builder, cam = cornell_box(width=256, height=256)
+    builder, cam = builtin_scene(os.environ.get("PROBE_SCENE", "cornell"),
+                                 256, 256)
     scene = builder.compile()
     dscene = jax.tree_util.tree_map(jnp.asarray, scene)
     P, AT = prepare_scene_tables(dscene)

@@ -6,14 +6,18 @@ multi-chip pixel sharding those reads cross shard boundaries; SURVEY.md
 §2.7/§5 maps this to **halo exchange over ICI**.
 
 Implementation: the image is sharded by pixel *rows* across the mesh.
-Stage 1 (candidates + temporal) is shard-local (temporal reprojection
-reads the shard's own previous-frame state; exact for static cameras,
-clamped for moving ones).  Between stages each shard exchanges ``radius``
-rows of its stage-1 output with both neighbors via ``jax.lax.ppermute``
-(ICI collectives); stage 2's neighbor gathers then index the
-local-plus-halo arrays, bit-compatible with the single-chip renderer
-(identical RNG offsets; |dy| <= radius by construction, so every drawable
-neighbor is inside the halo).
+Stage 1 (candidates + temporal) first halo-exchanges the PREVIOUS frame's
+state by ``radius`` rows, so temporal reprojection under a moving camera
+(prev view/proj, Renderer.cu:1750-1765) reads exact history for motion up
+to ``radius`` rows across the shard boundary; reprojections landing
+beyond the halo read reservoirs with m forced to 0, which the temporal
+merge rejects exactly (history is dropped, estimator stays unbiased — the
+same fallback as a disocclusion).  Between stages each shard exchanges
+``radius`` rows of its stage-1 output with both neighbors via
+``jax.lax.ppermute`` (ICI collectives); stage 2's neighbor gathers then
+index the local-plus-halo arrays, bit-compatible with the single-chip
+renderer (identical RNG offsets; |dy| <= radius by construction, so every
+drawable neighbor is inside the halo).
 """
 
 from __future__ import annotations
@@ -66,6 +70,19 @@ class _Shifted:
         return self.arr[local]
 
 
+class _ShiftedZeroOutside(_Shifted):
+    """_Shifted that yields ZEROS for global indices outside the local
+    (+halo) extent instead of clamped edge values.  Worn by reservoir
+    ``m`` leaves so a temporal reprojection past the exchanged halo reads
+    m == 0 and the merge rejects it exactly."""
+
+    def __getitem__(self, idx):
+        local = idx - self.base
+        ok = (local >= 0) & (local < self.arr.shape[0])
+        v = self.arr[jnp.clip(local, 0, self.arr.shape[0] - 1)]
+        return jnp.where(ok, v, jnp.zeros_like(v))
+
+
 def _shift_tree(tree, base):
     """Wrap every array leaf of a (possibly nested) state dict in a
     global-index shim."""
@@ -95,11 +112,17 @@ def _make_restir_sharded(scene, mesh: Mesh, width: int, height: int,
                                             xp=jnp, pixel_x=xs, pixel_y=ys)
 
         shard_row0 = jax.lax.axis_index(axis) * rows
-        own_base = shard_row0 * width
 
-        state_view = dict(state)
-        state_view["normal_oct"] = _Shifted(state["normal_oct"], own_base)
-        state_view["reservoir"] = _shift_tree(state["reservoir"], own_base)
+        # temporal halo: exchange `radius` rows of PREVIOUS-frame state so
+        # moving-camera reprojection is exact across shard boundaries
+        state_h = jax.tree_util.tree_map(
+            lambda v: _halo_exchange(v, halo, axis), state)
+        halo_base = (shard_row0 - radius) * width
+        state_view = dict(state_h)
+        state_view["normal_oct"] = _Shifted(state_h["normal_oct"], halo_base)
+        rsv = _shift_tree(state_h["reservoir"], halo_base)
+        rsv["m"] = _ShiftedZeroOutside(state_h["reservoir"]["m"], halo_base)
+        state_view["reservoir"] = rsv
         g = part1(scene_rep, trace, origins, directions,
                   pixel_ids.astype(jnp.uint32), frame, settings, state_view,
                   width, height, ppv)

@@ -15,10 +15,14 @@ assembled from TWO lane-aligned stage tiles DMA'd from HBM plus a dynamic
 benchmarks/probe_transpose.py) — no unaligned lane slicing, no per-lane
 gathers.
 
-Design deviations from the wavefront path (all documented, offline
-static-camera fast path — the wavefront renderer remains the general one):
-  * temporal reprojection is same-pixel (static camera), so the previous
-    frame's reservoir block is tile-local;
+Design deviations from the wavefront path (all documented — the wavefront
+renderer remains the general one):
+  * temporal reprojection (prev proj@view, Renderer.cu:1750-1765) fetches
+    the prev-state window at the TILE-SHARED mean reprojection offset (two
+    aligned HBM tiles + a lane roll); lanes whose exact reprojected pixel
+    is not the one fetched drop history (fresh restart, unbiased).  Static
+    cameras reproject to the same tile and keep full reuse; slow motion
+    keeps most lanes;
   * spatial neighbor offsets are drawn PER FRAME, shared by all pixels
     (instead of per pixel).  Out-of-image neighbors are rejected per lane
     (the wavefront clamps coordinates instead); the 1/Z accounting keeps
@@ -206,16 +210,18 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
     # ------------------------------------------------------------------ K1
     def k1(*refs):
         refs = list(refs)
-        cam_ref, frame_ref, p_ref, a_ref, e_ref = refs[:5]
-        refs = refs[5:]
+        cam_ref, frame_ref, ppv_ref, p_ref, a_ref, e_ref = refs[:6]
+        refs = refs[6:]
         txp_ref = refs.pop(0) if textured else None
         taabb_ref = refs.pop(0) if cull else None
-        state_ref, stage_ref, rayin, trout, trouti, lkin, bank = refs[:7]
+        state_full_ref, stage_ref, rayin, trout, trouti, lkin, bank = refs[:7]
         refs = refs[7:]
         txin, txbank = ((refs.pop(0), refs.pop(0)) if textured
                         else (None, None))
         trst, trsti = ((refs.pop(0), refs.pop(0)) if cull
                        else (None, None))
+        win_t0, win_t1, t_sem = ((refs.pop(0), refs.pop(0), refs.pop(0))
+                                 if use_temporal else (None, None, None))
         tile = pl.program_id(0)
         cam = cam_ref[:]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
@@ -274,13 +280,56 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
         res = (idx, w, p, wsum, m)
 
         if use_temporal:
-            st = state_ref[:]           # (_ST_ROWS, C) tile-local (static cam)
+            # temporal reprojection via prev proj@view (Renderer.cu:
+            # 1750-1765): per-lane prev pixel; the PREV-frame state window
+            # is fetched at the tile-shared (mean) offset — two aligned
+            # DMA tiles + a lane roll — and lanes whose exact reprojected
+            # pixel is not the fetched one reject history (fresh restart,
+            # unbiased; static cameras reproject to the same tile and
+            # keep full reuse)
+            pv = ppv_ref[0:4, :]
+            cx_ = pv[0, 0] * px_ + pv[0, 1] * py_ + pv[0, 2] * pz_ + pv[0, 3]
+            cy_ = pv[1, 0] * px_ + pv[1, 1] * py_ + pv[1, 2] * pz_ + pv[1, 3]
+            cw_ = pv[3, 0] * px_ + pv[3, 1] * py_ + pv[3, 2] * pz_ + pv[3, 3]
+            wok = jnp.abs(cw_) >= 1e-20
+            inv_w = 1.0 / jnp.where(wok, cw_, 1.0)
+            u_ = jnp.where(wok, cx_ * inv_w, 0.0) * 0.5 + 0.5
+            v_ = jnp.where(wok, cy_ * inv_w, 0.0) * 0.5 + 0.5
+            ppx = jnp.clip((u_ * width).astype(jnp.int32), 0, width - 1)
+            ppy = jnp.clip(((1.0 - v_) * height).astype(jnp.int32), 0,
+                           height - 1)
+            prev_pix = ppx + ppy * width
+
+            shade_f = shade.astype(jnp.float32)
+            cnt = jnp.maximum(jnp.sum(shade_f), 1.0)
+            off = jnp.round(
+                jnp.sum((prev_pix - pix).astype(jnp.float32) * shade_f)
+                / cnt).astype(jnp.int32)
+            s = tile * C + off
+            sc = jnp.clip(s, 0, B - C)
+            q0 = sc // C
+            r_sh = sc - q0 * C
+            q1 = jnp.minimum(q0 + 1, G - 1)
+
+            def read_state(q, win):
+                dma = pltpu.make_async_copy(
+                    state_full_ref.at[pl.ds(q * _ST_ROWS, _ST_ROWS), :],
+                    win, t_sem)
+                dma.start()
+                dma.wait()
+                return win[:]
+
+            b0 = pltpu.roll(read_state(q0, win_t0), (C - r_sh) % C, axis=1)
+            b1 = pltpu.roll(read_state(q1, win_t1), (C - r_sh) % C, axis=1)
+            st = jnp.where(lane < C - r_sh, b0, b1)
+            exact = (sc + lane) == prev_pix
+
             pn_x = st[_ST_NRM:_ST_NRM + 1, :]
             pn_y = st[_ST_NRM + 1:_ST_NRM + 2, :]
             pn_z = st[_ST_NRM + 2:_ST_NRM + 3, :]
             p_m = st[_ST_RM:_ST_RM + 1, :]
             valid = ((pn_x * nx + pn_y * ny + pn_z * nz) >= 0.99) \
-                & (p_m > 0.0) & shade
+                & (p_m > 0.0) & shade & exact
             cap = hist * res[4]
             prev_m = jnp.minimum(p_m, cap)
             prev_idx = st[_ST_RIDX:_ST_RIDX + 1, :]
@@ -501,16 +550,17 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
         pltpu.VMEM((_NR_MAX * RS, C), jnp.float32),  # bank
     ]
 
-    def k1_call(cam, frame_arr, P, AT, EM, state, TXP=None, TAABB=None):
+    def k1_call(cam, frame_arr, ppv, P, AT, EM, state, TXP=None, TAABB=None):
         in_specs = [
             pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((_A_COLS, T), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((_E_ROWS, e_pad), full,
                          memory_space=pltpu.VMEM),
         ]
-        args = [cam, frame_arr, P, AT, EM]
+        args = [cam, frame_arr, ppv, P, AT, EM]
         k1_scratches = list(scratches)
         if textured:
             khp, hp, wp = tex_shapes
@@ -529,7 +579,14 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
                 pltpu.VMEM((RS, C), jnp.float32),       # trst
                 pltpu.VMEM((RS, C), jnp.int32),         # trsti
             ]
-        in_specs.append(blocked(_ST_ROWS))
+        if use_temporal:
+            k1_scratches += [
+                pltpu.VMEM((_ST_ROWS, C), jnp.float32),  # win_t0
+                pltpu.VMEM((_ST_ROWS, C), jnp.float32),  # win_t1
+                pltpu.SemaphoreType.DMA(()),
+            ]
+        # prev-frame state stays in HBM (reprojection reads a DMA window)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(state)
         return pl.pallas_call(
             k1, grid=grid,
@@ -577,12 +634,25 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
         )(*args)
 
     @jax.jit
-    def render(cam, P, AT, EM, frame0, state, TXP=None, TAABB=None):
+    def render(cam, P, AT, EM, frame0, state, ppv0=None, ppv1=None,
+               TXP=None, TAABB=None):
+        # ppv0 = proj@view of the dispatch BEFORE this one, ppv1 = this
+        # dispatch's (the camera is static within a dispatch, so frames
+        # past the first reproject into the current pose)
+        if ppv0 is None:
+            ppv0 = jnp.eye(4, dtype=jnp.float32)
+        if ppv1 is None:
+            ppv1 = ppv0
+
         def body(fi, carry):
             accum, st = carry
             frame = (frame0 + fi).astype(jnp.uint32)
             frame_arr = frame.reshape(1, 1).astype(jnp.int32)
-            stage = k1_call(cam, frame_arr, P, AT, EM, st, TXP, TAABB)
+            ppv = jnp.where(fi == 0, ppv0, ppv1)
+            ppv_pad = jnp.concatenate(
+                [ppv, jnp.zeros((4, 4), jnp.float32)], axis=0)
+            stage = k1_call(cam, frame_arr, ppv_pad, P, AT, EM, st, TXP,
+                            TAABB)
             # frame-shared spatial offsets (see module docstring)
             okey = host_rng.path_key(jnp.uint32(0xD1CE), frame, 0,
                                      stream=7002)
@@ -644,8 +714,10 @@ class MegakernelReSTIRDI:
         P, AT = self.tables
         summed, self.state = self._renderer(n_frames)(
             cam, P, AT, self.em_table, jnp.uint32(self.frame_index),
-            self.state, TXP=self.tex_table,
+            self.state, ppv0=jnp.asarray(self.camera.prev_proj_view),
+            ppv1=jnp.asarray(self.camera.proj_view), TXP=self.tex_table,
             TAABB=self.taabb if self.cull else None)
+        self.camera.commit_frame()
         self.accum = self.accum + summed
         self.frame_index += n_frames
         h, w = self.camera.height, self.camera.width

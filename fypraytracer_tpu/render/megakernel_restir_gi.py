@@ -14,9 +14,11 @@ visibility re-trace, then shades.  Spatial-neighbor stage windows are two
 lane-aligned HBM tiles + a dynamic ``pltpu.roll``.  Frame loop in the
 surrounding ``fori_loop`` — N frames per dispatch.
 
-Deviations (same as the DI megakernel, documented there): same-pixel
-temporal reuse, frame-shared spatial offsets, raw (non-octahedral)
-normals in the stage/state buffers.
+Deviations (same as the DI megakernel, documented there): tile-shared
+temporal reprojection offset (moving cameras keep history where the
+per-lane reprojection matches the shared window; others restart fresh),
+frame-shared spatial offsets, raw (non-octahedral) normals in the
+stage/state buffers.
 
 Validated statistically against the BRDF path tracer
 (tests/test_megakernel_restir.py), like the wavefront GI tests.
@@ -160,17 +162,19 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
     # ------------------------------------------------------------------ K1
     def k1(*refs):
         refs = list(refs)
-        cam_ref, frame_ref, p_ref, a_ref = refs[:4]
-        refs = refs[4:]
+        cam_ref, frame_ref, ppv_ref, p_ref, a_ref = refs[:5]
+        refs = refs[5:]
         txp_ref = refs.pop(0) if textured else None
         txb_ref = refs.pop(0) if textured else None
         taabb_ref = refs.pop(0) if cull else None
-        state_ref, stage_ref, rayin, trout, trouti, lkin, bank = refs[:7]
+        state_full_ref, stage_ref, rayin, trout, trouti, lkin, bank = refs[:7]
         refs = refs[7:]
         txin, txbank = ((refs.pop(0), refs.pop(0)) if textured
                         else (None, None))
         trst, trsti = ((refs.pop(0), refs.pop(0)) if cull
                        else (None, None))
+        win_t0, win_t1, t_sem = ((refs.pop(0), refs.pop(0), refs.pop(0))
+                                 if use_temporal else (None, None, None))
         tile = pl.program_id(0)
         cam = cam_ref[:]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
@@ -315,7 +319,43 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
         res["w"] = _w_of(res)
 
         if use_temporal:
-            st_ = state_ref[:]      # (_GST_ROWS, C) tile-local (static cam)
+            # temporal reprojection via prev proj@view — same windowed
+            # prev-state fetch as the DI megakernel (see its K1 comment)
+            pv = ppv_ref[0:4, :]
+            cx_ = pv[0, 0] * px_ + pv[0, 1] * py_ + pv[0, 2] * pz_ + pv[0, 3]
+            cy_ = pv[1, 0] * px_ + pv[1, 1] * py_ + pv[1, 2] * pz_ + pv[1, 3]
+            cw_ = pv[3, 0] * px_ + pv[3, 1] * py_ + pv[3, 2] * pz_ + pv[3, 3]
+            wok = jnp.abs(cw_) >= 1e-20
+            inv_w = 1.0 / jnp.where(wok, cw_, 1.0)
+            u_ = jnp.where(wok, cx_ * inv_w, 0.0) * 0.5 + 0.5
+            v_ = jnp.where(wok, cy_ * inv_w, 0.0) * 0.5 + 0.5
+            ppx = jnp.clip((u_ * width).astype(jnp.int32), 0, width - 1)
+            ppy = jnp.clip(((1.0 - v_) * height).astype(jnp.int32), 0,
+                           height - 1)
+            prev_pix = ppx + ppy * width
+            shade_f = shade.astype(jnp.float32)
+            cnt = jnp.maximum(jnp.sum(shade_f), 1.0)
+            off = jnp.round(
+                jnp.sum((prev_pix - pix).astype(jnp.float32) * shade_f)
+                / cnt).astype(jnp.int32)
+            s = tile * C + off
+            sc = jnp.clip(s, 0, B - C)
+            q0 = sc // C
+            r_sh = sc - q0 * C
+            q1 = jnp.minimum(q0 + 1, G - 1)
+
+            def read_state(q, win):
+                dma = pltpu.make_async_copy(
+                    state_full_ref.at[pl.ds(q * _GST_ROWS, _GST_ROWS), :],
+                    win, t_sem)
+                dma.start()
+                dma.wait()
+                return win[:]
+
+            b0 = pltpu.roll(read_state(q0, win_t0), (C - r_sh) % C, axis=1)
+            b1 = pltpu.roll(read_state(q1, win_t1), (C - r_sh) % C, axis=1)
+            st_ = jnp.where(lane < C - r_sh, b0, b1)
+            exact = (sc + lane) == prev_pix
 
             def srow(r):
                 return st_[r:r + 1, :]
@@ -328,7 +368,7 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
                         wsum=srow(_GT_WSUM))
             pn = (srow(_GT_NRM), srow(_GT_NRM + 1), srow(_GT_NRM + 2))
             valid = ((pn[0] * nx + pn[1] * ny + pn[2] * nz) >= 0.99) \
-                & (prev["m"] > 0.0) & shade
+                & (prev["m"] > 0.0) & shade & exact
             cap = hist * jnp.maximum(res["m"], 1.0)
             prev_m = jnp.minimum(prev["m"], cap)
             key, ut = _next_uniform(key)
@@ -612,15 +652,16 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
         pltpu.VMEM((_NR_MAX * RS, C), jnp.float32),  # bank
     ]
 
-    def k1_call(cam, frame_arr, P, AT, state, TXP=None, TXB=None,
+    def k1_call(cam, frame_arr, ppv, P, AT, state, TXP=None, TXB=None,
                 TAABB=None):
         in_specs = [
             pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((_A_COLS, T), full, memory_space=pltpu.VMEM),
         ]
-        args = [cam, frame_arr, P, AT]
+        args = [cam, frame_arr, ppv, P, AT]
         k1_scratches = list(scratches)
         if textured:
             (khp, hp, wp), (khb, hb, wb) = tex_shapes
@@ -641,7 +682,14 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
                 pltpu.VMEM((RS, C), jnp.float32),       # trst
                 pltpu.VMEM((RS, C), jnp.int32),         # trsti
             ]
-        in_specs.append(blocked(_GST_ROWS))
+        if use_temporal:
+            k1_scratches += [
+                pltpu.VMEM((_GST_ROWS, C), jnp.float32),  # win_t0
+                pltpu.VMEM((_GST_ROWS, C), jnp.float32),  # win_t1
+                pltpu.SemaphoreType.DMA(()),
+            ]
+        # prev-frame state stays in HBM (reprojection reads a DMA window)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(state)
         return pl.pallas_call(
             k1, grid=grid,
@@ -706,12 +754,23 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
         )(*args)
 
     @jax.jit
-    def render(cam, P, AT, frame0, state, TXP=None, TXB=None, TAABB=None):
+    def render(cam, P, AT, frame0, state, ppv0=None, ppv1=None, TXP=None,
+               TXB=None, TAABB=None):
+        # ppv0/ppv1: see the DI megakernel driver
+        if ppv0 is None:
+            ppv0 = jnp.eye(4, dtype=jnp.float32)
+        if ppv1 is None:
+            ppv1 = ppv0
+
         def body(fi, carry):
             accum, st = carry
             frame = (frame0 + fi).astype(jnp.uint32)
             frame_arr = frame.reshape(1, 1).astype(jnp.int32)
-            stage = k1_call(cam, frame_arr, P, AT, st, TXP, TXB, TAABB)
+            ppv = jnp.where(fi == 0, ppv0, ppv1)
+            ppv_pad = jnp.concatenate(
+                [ppv, jnp.zeros((4, 4), jnp.float32)], axis=0)
+            stage = k1_call(cam, frame_arr, ppv_pad, P, AT, st, TXP, TXB,
+                            TAABB)
             okey = host_rng.path_key(jnp.uint32(0xD1CE), frame, 0,
                                      stream=8002)
             offs = []
@@ -773,7 +832,10 @@ class MegakernelReSTIRGI:
         txp, txb = self.tex_tables if self.tex_tables else (None, None)
         summed, self.state = self._renderer(n_frames)(
             cam, P, AT, jnp.uint32(self.frame_index), self.state,
+            ppv0=jnp.asarray(self.camera.prev_proj_view),
+            ppv1=jnp.asarray(self.camera.proj_view),
             TXP=txp, TXB=txb, TAABB=self.taabb)
+        self.camera.commit_frame()
         self.accum = self.accum + summed
         self.frame_index += n_frames
         h, w = self.camera.height, self.camera.width

@@ -87,3 +87,34 @@ def test_megakernel_restir_gi_state_carry():
     assert mk.frame_index == 9
     assert np.isfinite(b).all()
     assert abs(b.mean() - a.mean()) / max(a.mean(), 1e-9) < 0.3
+
+
+def test_megakernel_restir_di_moving_camera_unbiased():
+    """Camera moves between dispatches: temporal reprojection must keep
+    the estimator unbiased at the NEW pose (history either reprojects
+    exactly or restarts fresh — never reads same-pixel garbage)."""
+    from fypraytracer_tpu.core.camera import Camera
+    from fypraytracer_tpu.oracle.cpu_renderer import accumulate_oracle
+    from fypraytracer_tpu.render.megakernel_restir import MegakernelReSTIRDI
+
+    builder, _ = cornell_box(width=32, height=32, with_spheres=False)
+    scene = builder.compile()
+    settings = RenderSettings(technique=SamplingTechnique.RESTIR_DI,
+                              light_candidates=4, spatial_neighbors=3,
+                              spatial_radius=8)
+    cam = Camera(position=(0.0, 1.0, 2.6), forward=(0.0, 0.0, -1.0),
+                 vfov_deg=45.0, width=32, height=32)
+    mk = MegakernelReSTIRDI(scene, cam, settings, interpret=True)
+    mk.render_many(8)                     # pose A: builds history
+    acc_a = np.asarray(mk.accum).copy()
+    mk.camera.move_to((0.0, 1.08, 2.6))   # pan up ~1 px rows
+    mk.render_many(24)                    # pose B, history reprojected
+    pose_b = (np.asarray(mk.accum) - acc_a).reshape(32, 32, 3) / 24
+
+    cam_b = Camera(position=(0.0, 1.08, 2.6), forward=(0.0, 0.0, -1.0),
+                   vfov_deg=45.0, width=32, height=32)
+    ref = accumulate_oracle(scene, cam_b, RenderSettings(
+        technique=SamplingTechnique.LIGHT_SOURCE, samples=4), 24)
+    rel = abs(pose_b.mean() - ref.mean()) / ref.mean()
+    assert np.isfinite(pose_b).all()
+    assert rel < 0.08, (pose_b.mean(), ref.mean())

@@ -124,3 +124,75 @@ def test_sharded_restir_gi_matches_single_chip(n_devices):
     assert float(np.median(diff)) < 1e-6
     assert (diff.max(axis=-1) > 1e-3).mean() < 0.03, diff.max()
     assert abs(got_acc.mean() - ref_acc.mean()) / max(ref_acc.mean(), 1e-9) < 0.02
+
+
+def test_sharded_restir_di_moving_camera_matches_single_chip():
+    """Moving camera: temporal reprojection crosses shard boundaries; the
+    temporal state halo must make the sharded result match the
+    single-chip one for motion within `radius` rows (VERDICT r1 #6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fypraytracer_tpu.core.camera import Camera, generate_rays
+    from fypraytracer_tpu.ops.dense import pick_tracer
+    from fypraytracer_tpu.parallel.restir_shard import make_restir_di_sharded
+    from fypraytracer_tpu.parallel.shard import make_pixel_mesh, replicate_scene
+    from fypraytracer_tpu.render import restir_di
+
+    width = height = 64
+    n_devices = 4
+    builder, cam = cornell_box(width=width, height=height, with_spheres=False)
+    scene = builder.compile()
+    settings = RenderSettings(technique=SamplingTechnique.RESTIR_DI,
+                              light_candidates=4, spatial_neighbors=3,
+                              spatial_radius=12)
+
+    # per-frame camera poses: pan up slightly each frame (sub-halo motion)
+    poses = []
+    c = Camera(position=(0.0, 1.0, 2.6), forward=(0.0, 0.0, -1.0),
+               vfov_deg=45.0, width=width, height=height)
+    for f in range(3):
+        c2 = Camera(position=(0.0, 1.0 + 0.05 * f, 2.6),
+                    forward=(0.0, 0.0, -1.0), vfov_deg=45.0,
+                    width=width, height=height)
+        poses.append((jnp.asarray(c2.inv_projection),
+                      jnp.asarray(c2.inv_view),
+                      jnp.asarray(c2.proj_view)))
+    # frame f renders pose f with ppv = pose f-1 (frame 0's ppv unused:
+    # fresh reservoirs have m == 0)
+    frames = [(poses[f][0], poses[f][1],
+               poses[max(f - 1, 0)][2]) for f in range(3)]
+
+    dscene = scene.device_put()
+
+    @jax.jit
+    def ref_step(ip, iv, ppv, frame, state):
+        pix = jnp.arange(width * height, dtype=jnp.int32)
+        o, d = generate_rays(ip, iv, width, height, xp=jnp,
+                             pixel_x=pix % width, pixel_y=pix // width)
+        trace = pick_tracer(dscene, settings.tracer)
+        return restir_di.render_restir_di(dscene, trace, o, d,
+                                          pix.astype(jnp.uint32), frame,
+                                          settings, state, width, height, ppv)
+
+    st = jax.tree_util.tree_map(jnp.asarray,
+                                restir_di.init_state(width * height))
+    ref_acc = np.zeros((width * height, 3), np.float32)
+    for f, (ip, iv, ppv) in enumerate(frames, start=1):
+        hdr, st = ref_step(ip, iv, ppv, jnp.uint32(f), st)
+        ref_acc += np.asarray(hdr)
+
+    mesh = make_pixel_mesh(jax.devices()[:n_devices])
+    scene_r = replicate_scene(scene, mesh)
+    step, init_state = make_restir_di_sharded(scene_r, mesh, width, height,
+                                              settings)
+    state = init_state()
+    got_acc = np.zeros((width * height, 3), np.float32)
+    for f, (ip, iv, ppv) in enumerate(frames, start=1):
+        hdr, state = step(ip, iv, ppv, jnp.uint32(f), state)
+        got_acc += np.asarray(hdr)
+
+    diff = np.abs(got_acc - ref_acc)
+    assert float(np.median(diff)) < 1e-6
+    assert (diff.max(axis=-1) > 1e-3).mean() < 0.03, diff.max()
+    assert abs(got_acc.mean() - ref_acc.mean()) / ref_acc.mean() < 0.01
