@@ -26,33 +26,41 @@ def main():
     builder, cam = builtin_scene(os.environ.get("PROBE_SCENE", "cornell"),
                                  256, 256)
     scene = builder.compile()
-    dscene = jax.tree_util.tree_map(jnp.asarray, scene)
-    P, AT = prepare_scene_tables(dscene)
-    L, depth = prepare_light_table(dscene)
 
     from fypraytracer_tpu.render import megakernel as mkmod
     bounces = int(os.environ.get("PROBE_BOUNCES", "2"))
-    depth = int(os.environ.get("PROBE_DEPTH", str(depth)))
     lanes = int(os.environ.get("PROBE_LANES", str(mkmod.RAY_LANES)))
     tt = int(os.environ.get("PROBE_TT", str(mkmod.TRI_TILE)))
+    cull_env = os.environ.get("PROBE_CULL", "auto")
+    cull = None if cull_env == "auto" else bool(int(cull_env))
+
+    mscene, _ = mkmod.morton_permuted_scene(scene)
+    taabb = mkmod.prepare_tile_aabbs(mscene, tt)
+    dscene = jax.tree_util.tree_map(jnp.asarray, mscene)
+    wn, wu, wv, A = mkmod.build_attr_matrix(dscene, tt)
+    P = jnp.concatenate([wn, wu, wv,
+                         jnp.zeros((A.shape[0], 4), jnp.float32)], axis=1)
+    AT = A.T
+    L, depth = prepare_light_table(dscene)
+    depth = int(os.environ.get("PROBE_DEPTH", str(depth)))
     render = make_megakernel(256, 256, bounces=bounces, samples=1,
                              sky_color=(0.05, 0.06, 0.08), n_frames=frames,
                              n_tris=scene.geometry.tri_v.shape[0],
                              sampler=sampler, n_light_nodes=L.shape[1],
                              light_depth=depth, frame_group=R,
-                             ray_lanes=lanes, tri_tile=tt)
+                             ray_lanes=lanes, tri_tile=tt, cull=cull)
     cam_mats = jnp.concatenate([jnp.asarray(cam.inv_projection),
                                 jnp.asarray(cam.inv_view)], axis=0)
     frame0 = jnp.asarray([[1]], jnp.int32)
     t0 = time.perf_counter()
-    out = render(cam_mats, P, AT, frame0, L=L)
+    out = render(cam_mats, P, AT, frame0, L=L, TAABB=taabb)
     v = float(jax.jit(lambda x: x.ravel()[0])(out))
     t1 = time.perf_counter()
     print(f"COMPILE+RUN OK sampler={sampler} R={R} frames={frames} "
           f"first={v:.4f} wall={t1 - t0:.1f}s", flush=True)
     # steady-state timing
     t0 = time.perf_counter()
-    out = render(cam_mats, P, AT, frame0, L=L)
+    out = render(cam_mats, P, AT, frame0, L=L, TAABB=taabb)
     float(jax.jit(lambda x: x.ravel()[0])(out))
     dt = time.perf_counter() - t0 - 0.4
     print(f"steady: {dt*1000:.1f} ms total, {dt*1000/frames:.2f} ms/frame",

@@ -175,12 +175,14 @@ def cmd_benchmark(args):
                   else ["uniform", "cosine", "ggx", "brdf", "light", "nee",
                         "restir-di", "restir-gi"])
 
-    # golden: long cosine accumulation (convergence oracle, SURVEY §4.4)
+    # golden: long accumulation of the lowest-variance estimator
+    # (convergence oracle, SURVEY §4.4; the reference's implicit oracle is
+    # a long-run render, README.md:31) — default 256 frames of NEE+MIS
     from fypraytracer_tpu.core.color import finalize_pixels, to_uint8_rgb
     from fypraytracer_tpu.utils import metrics as M
 
     golden_hdr, _, _, _ = _render_run(
-        scene, cam, _settings(args, SamplingTechnique.COSINE).replace(
+        scene, cam, _settings(args, _TECH[args.golden_technique]).replace(
             samples=max(args.samples, 4)),
         frames=args.golden_frames, strict=args.strict)
     golden8 = to_uint8_rgb(finalize_pixels(golden_hdr, np.float32(1.0)))
@@ -280,7 +282,9 @@ def main(argv=None):
     b.add_argument("--techniques", default=None, help="comma list")
     b.add_argument("--frames", type=int, default=None)
     b.add_argument("--seconds", type=float, default=None)
-    b.add_argument("--golden-frames", type=int, default=64)
+    b.add_argument("--golden-frames", type=int, default=256)
+    b.add_argument("--golden-technique", choices=sorted(_TECH),
+                   default="nee", help="estimator for the golden image")
     b.add_argument("-o", "--out", default=None)
     b.set_defaults(fn=cmd_benchmark)
 

@@ -418,7 +418,10 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
     # ~0.3 us without (PERF.md) — keeping the trace loops and the DMAs in
     # separate kernels recovers the fast loops.
 
-    # per-neighbor nbuf rows (K2a -> K2b), blocks of _NB_ROWS per neighbor
+    # nbuf rows (K2a -> K2b), ATTRIBUTE-MAJOR: attribute r's values for
+    # all neighbors live at rows [r*_NBP, r*_NBP + N_NBR) — K2b's batched
+    # visibility trace then reads each ray component as ONE contiguous
+    # 8-aligned (N_NBR, C) slice instead of concatenating strided rows
     _NB_O = 0      # 0:3  visibility-ray origin
     _NB_D = 3      # 3:6  visibility-ray direction
     _NB_DIST = 6   # |sample point -> our visible point|
@@ -429,7 +432,8 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
     _NB_SP = 11    # 11:14
     _NB_SN = 14    # 14:17
     _NB_RAD = 17   # 17:20
-    _NB_ROWS = 24
+    _NB_ROWS = 20
+    _NBP = 8       # neighbors padded to a sublane tile
 
     def k2a(offs_ref, own_ref, stage_full_ref, nbuf_ref, win0, win1,
             dma_sem):
@@ -508,7 +512,7 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
             p_n = jnp.where(jac > 0.0,
                             _rad_norm(radn) / jnp.maximum(jac, 1e-12), 0.0)
 
-            blocks.extend([
+            blocks.append([
                 spn[0] + snn[0] * _EPS, spn[1] + snn[1] * _EPS,
                 spn[2] + snn[2] * _EPS,                       # _NB_O
                 drx / dist_r, dry / dist_r, drz / dist_r,     # _NB_D
@@ -517,18 +521,27 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
                 spn[0], spn[1], spn[2],
                 snn[0], snn[1], snn[2],
                 radn[0], radn[1], radn[2],
-                jnp.zeros((_NB_ROWS - 20, C), jnp.float32),
             ])
-        nbuf_ref[:] = jnp.concatenate(blocks, axis=0)
+        # attribute-major emit: rows [r*_NBP, r*_NBP+N_NBR) = attribute r
+        # across neighbors (pad rows keep (N_NBR, C) slices 8-aligned)
+        pad = jnp.zeros((_NBP - N_NBR, C), jnp.float32)
+        out_rows = []
+        for r in range(_NB_ROWS):
+            out_rows.extend([b[r] for b in blocks])
+            if _NBP > N_NBR:
+                out_rows.append(pad)
+        nbuf_ref[:] = jnp.concatenate(out_rows, axis=0)
 
     def k2b(*refs):
         refs = list(refs)
         cam_ref, frame_ref, p_ref = refs[:3]
         refs = refs[3:]
         taabb_ref = refs.pop(0) if cull else None
-        own_ref = refs.pop(0)
-        nbuf_ref = refs.pop(0) if use_spatial and N_NBR > 0 else None
-        (hdr_ref, state_ref, rayin, distst, occst, occout) = refs
+        stage_full_ref = refs.pop(0)               # HBM (pl.ANY)
+        nbuf_full_ref = (refs.pop(0)
+                         if use_spatial and N_NBR > 0 else None)  # HBM
+        (hdr_ref, state_ref, rayin, distst, occst, occout,
+         own_win, nb_win, dma_sem) = refs
         tile = pl.program_id(0)
         cam = cam_ref[:]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
@@ -537,8 +550,25 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
                                             occout, C, TT, T, RS,
                                             taabb=taabb_ref)
 
+        # stage + neighbor tiles arrive via TWO manual DMAs instead of
+        # blocked in_specs: per-grid-step blocked-buffer overhead was the
+        # dominant ReSTIR megakernel cost (measured: the DI K1 state
+        # blocked->ANY conversion alone took DI 0.71 -> 0.21 ms/frame)
+        own_dma = pltpu.make_async_copy(
+            stage_full_ref.at[pl.ds(tile * _GS_ROWS, _GS_ROWS), :],
+            own_win, dma_sem)
+        own_dma.start()
+        own_dma.wait()
+        if nbuf_full_ref is not None:
+            nb_rows = _NB_ROWS * _NBP
+            nb_dma = pltpu.make_async_copy(
+                nbuf_full_ref.at[pl.ds(tile * nb_rows, nb_rows), :],
+                nb_win, dma_sem)
+            nb_dma.start()
+            nb_dma.wait()
+
         def row(r):
-            return own_ref[r:r + 1, :]
+            return own_win[r:r + 1, :]
 
         pxp, pyp, pzp = row(_GS_POS), row(_GS_POS + 1), row(_GS_POS + 2)
         nx, ny, nz = row(_GS_NRM), row(_GS_NRM + 1), row(_GS_NRM + 2)
@@ -566,14 +596,15 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
 
         if use_spatial and N_NBR > 0:
             def nbrow(nidx, r):
-                return nbuf_ref[nidx * _NB_ROWS + r:nidx * _NB_ROWS + r + 1,
-                                :]
+                return nb_win[r * _NBP + nidx:r * _NBP + nidx + 1, :]
 
             z = jnp.where(shade, res["m"], 0.0)
             for base in range(0, N_NBR, RS):
                 grp = list(range(base, min(base + RS, N_NBR)))
-                cat = lambda r: jnp.concatenate(
-                    [nbrow(n, r) for n in grp], axis=0)
+                # attribute-major nbuf: each ray component is ONE aligned
+                # contiguous (len(grp), C) slice
+                cat = lambda r: nb_win[r * _NBP + base:
+                                       r * _NBP + base + len(grp), :]
                 # batched visibility re-trace: neighbor sample point ->
                 # our visible point (Renderer.cu:2356-2366) — shadow
                 # trace (occlusion-only, |t-dist|<=tol acceptance)
@@ -709,8 +740,8 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
                 blocked(_GS_ROWS),                   # own tile
                 pl.BlockSpec(memory_space=pl.ANY),   # stage stays in HBM
             ],
-            out_specs=blocked(N_NBR * _NB_ROWS),
-            out_shape=jax.ShapeDtypeStruct((G * N_NBR * _NB_ROWS, C),
+            out_specs=blocked(_NB_ROWS * _NBP),
+            out_shape=jax.ShapeDtypeStruct((G * _NB_ROWS * _NBP, C),
                                            jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((_GS_ROWS, C), jnp.float32),   # win0
@@ -732,10 +763,10 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
             in_specs.append(pl.BlockSpec((n_tiles, 8), full,
                                          memory_space=pltpu.SMEM))
             args.append(TAABB)
-        in_specs.append(blocked(_GS_ROWS))          # own tile
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # stage (HBM)
         args.append(stage)
         if spatial:
-            in_specs.append(blocked(N_NBR * _NB_ROWS))
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # nbuf
             args.append(nbuf)
         return pl.pallas_call(
             k2b, grid=grid,
@@ -749,6 +780,9 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
                 pltpu.VMEM((RS, C), jnp.float32),       # distst
                 pltpu.VMEM((8, C), jnp.float32),        # occst
                 pltpu.VMEM((RS, C), jnp.float32),       # occout
+                pltpu.VMEM((_GS_ROWS, C), jnp.float32),          # own_win
+                pltpu.VMEM((_NB_ROWS * _NBP, C), jnp.float32),   # nb_win
+                pltpu.SemaphoreType.DMA(()),
             ],
             interpret=interpret,
         )(*args)

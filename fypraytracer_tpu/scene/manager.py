@@ -64,13 +64,20 @@ class SceneManager:
         and swap its scene in place (device re-upload happens lazily via
         Renderer's device_put)."""
         if self.dirty:
-            # Full recompile: with native builders the structure rebuild is
-            # cheap; the expensive part skipped for clean meshes would be
-            # transform baking, which is itself vectorized NumPy.  The
-            # reference's per-BLAS selectiveness (SceneManager.cpp:33-85)
-            # matters on its scalar CPU path, not here.
-            self.scene = self.builder.compile(leaf_size=self.leaf_size,
-                                              native=self.native)
+            if not self._meshes_dirty:
+                # material-only edit: geometry, per-tri AABBs and the BVH
+                # are untouched — rebuild just the material table + the
+                # emission-dependent structures (emissive list, light
+                # tree), the incremental counterpart of the reference's
+                # materialsToUpdate flush (SceneManager.cpp:87-130)
+                self.scene = self._apply_material_edit()
+            else:
+                # mesh transforms moved geometry: full recompile.  With
+                # the native builders the structure rebuild is cheap; the
+                # reference's per-BLAS selectiveness (SceneManager.cpp:
+                # 33-85) matters on its scalar CPU path, not here.
+                self.scene = self.builder.compile(leaf_size=self.leaf_size,
+                                                  native=self.native)
             self.version += 1
             self._meshes_dirty.clear()
             self._materials_dirty.clear()
@@ -78,3 +85,48 @@ class SceneManager:
                 renderer.scene = self.scene.device_put()
                 renderer.reset()
         return self.scene
+
+    def _apply_material_edit(self) -> Scene:
+        import dataclasses
+
+        import numpy as np
+
+        from fypraytracer_tpu.scene.build import empty_light_tree
+        from fypraytracer_tpu.scene.types import MaterialTable
+
+        m = self.builder._mat
+        materials = MaterialTable(
+            albedo=np.asarray(m["albedo"], np.float32).reshape(-1, 3),
+            roughness=np.asarray(m["roughness"], np.float32),
+            metallic=np.asarray(m["metallic"], np.float32),
+            emission_color=np.asarray(m["emission_color"],
+                                      np.float32).reshape(-1, 3),
+            emission_power=np.asarray(m["emission_power"], np.float32),
+            albedo_map=np.asarray(m["albedo_map"], np.int32),
+        )
+        g = self.scene.geometry
+        positions = np.asarray(g.positions)
+        tri_v = np.asarray(g.tri_v)
+        tri_mat = np.asarray(g.tri_mat)
+        emission = materials.emission_color * materials.emission_power[:, None]
+        emissive_mat = np.abs(emission).sum(axis=-1) > 0.0
+        emissive_tris = np.nonzero(emissive_mat[tri_mat])[0].astype(np.int32)
+        mesh_ranges = [(me.tri_start, me.tri_start + len(me.tri_v))
+                       for me in self.builder.meshes]
+        lt = None
+        if len(emissive_tris) > 0:
+            if self.native:
+                from fypraytracer_tpu.accel import native as native_mod
+                lt = native_mod.build_light_tree_native(
+                    positions, tri_v, tri_mat,
+                    np.asarray(emission, np.float32), mesh_ranges)
+            if lt is None:
+                from fypraytracer_tpu.accel import lighttree as lt_mod
+                lt = lt_mod.build_scene_light_tree(
+                    positions, tri_v, tri_mat,
+                    np.asarray(emission, np.float32), mesh_ranges)
+        if lt is None:
+            lt = empty_light_tree(len(tri_v))
+        return dataclasses.replace(self.scene, materials=materials,
+                                   emissive_tris=emissive_tris,
+                                   light_tree=lt)
