@@ -1,0 +1,70 @@
+"""Interactive live-edit session (the reference viewer's loop, headless):
+edits flow through SceneManager, camera moves reset accumulation, renders
+stay live across edits."""
+
+import json
+
+import numpy as np
+
+from fypraytracer_tpu.scene.procedural import cornell_box
+
+
+class _Capture:
+    def __init__(self):
+        self.lines = []
+
+    def write(self, s):
+        self.lines.append(s)
+
+    def flush(self):
+        pass
+
+    def records(self):
+        return [json.loads(x) for x in "".join(self.lines).splitlines() if x]
+
+
+def test_interactive_session_edit_loop(tmp_path):
+    from fypraytracer_tpu.app.interactive import InteractiveSession
+
+    builder, cam = cornell_box(width=32, height=32, with_spheres=False)
+    out = _Capture()
+    sess = InteractiveSession(builder, cam, out=out)
+    png = tmp_path / "frame.png"
+    sess.run([
+        "tech cosine",
+        "bounces 1",
+        "step 2",
+        "mat 0 albedo 0.9 0.1 0.1",     # repaint the white walls red
+        "step 2",
+        "move 0 1.2 2.4",               # camera move resets accumulation
+        "step 1",
+        "mesh 0 position 0 0.2 0",      # geometry edit -> full recompile
+        "step 1",
+        f"save {png}",
+        "info",
+        "quit",
+    ])
+    rec = out.records()
+    steps = [r for r in rec if "frame_ms" in r]
+    assert len(steps) == 4
+    assert all(r["finite"] for r in steps)
+    # the material repaint must change the image
+    assert abs(steps[1]["mean"] - steps[0]["mean"]) > 1e-4
+    # camera move resets accumulation (frame counter restarted)
+    assert steps[2]["frames"] == 1
+    assert png.exists()
+    info = [r for r in rec if "triangles" in r][-1]
+    assert info["scene_version"] == 2          # material edit + mesh edit
+    assert abs(info["camera"][1] - 1.2) < 1e-6
+
+
+def test_interactive_session_bad_command_survives():
+    from fypraytracer_tpu.app.interactive import InteractiveSession
+
+    builder, cam = cornell_box(width=16, height=16, with_spheres=False)
+    out = _Capture()
+    sess = InteractiveSession(builder, cam, out=out)
+    sess.run(["bogus 1 2", "mat 99 albedo 1 0 0", "info", "quit"])
+    rec = out.records()
+    assert sum("error" in r for r in rec) == 2
+    assert any("triangles" in r for r in rec)
