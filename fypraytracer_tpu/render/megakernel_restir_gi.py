@@ -598,7 +598,18 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
             def nbrow(nidx, r):
                 return nb_win[r * _NBP + nidx:r * _NBP + nidx + 1, :]
 
+            import os
+            split_vis = bool(int(os.environ.get("FYP_GI_SPLIT_VIS", "0")))
+
             z = jnp.where(shade, res["m"], 0.0)
+            vis_rows = None
+            if split_vis:
+                # A/B experiment: N one-row shadow traces instead of one
+                # rr=N batch (rr=1 traces measure near-free, rr>=5 don't)
+                vis_rows = [shadow_visible(
+                    nbrow(n, _NB_O), nbrow(n, _NB_O + 1), nbrow(n, _NB_O + 2),
+                    nbrow(n, _NB_D), nbrow(n, _NB_D + 1), nbrow(n, _NB_D + 2),
+                    nbrow(n, _NB_DIST)) for n in range(N_NBR)]
             for base in range(0, N_NBR, RS):
                 grp = list(range(base, min(base + RS, N_NBR)))
                 # attribute-major nbuf: each ray component is ONE aligned
@@ -608,12 +619,14 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
                 # batched visibility re-trace: neighbor sample point ->
                 # our visible point (Renderer.cu:2356-2366) — shadow
                 # trace (occlusion-only, |t-dist|<=tol acceptance)
-                vis = shadow_visible(cat(_NB_O), cat(_NB_O + 1),
-                                     cat(_NB_O + 2), cat(_NB_D),
-                                     cat(_NB_D + 1), cat(_NB_D + 2),
-                                     cat(_NB_DIST))
+                if not split_vis:
+                    vis = shadow_visible(cat(_NB_O), cat(_NB_O + 1),
+                                         cat(_NB_O + 2), cat(_NB_D),
+                                         cat(_NB_D + 1), cat(_NB_D + 2),
+                                         cat(_NB_DIST))
                 for gi_, n in enumerate(grp):
-                    visible = vis[gi_:gi_ + 1, :]
+                    visible = (vis_rows[n] if split_vis
+                               else vis[gi_:gi_ + 1, :])
                     p_n = jnp.where(visible, nbrow(n, _NB_PN), 0.0)
                     ok = nbrow(n, _NB_OK) > 0.5
                     nb_w = nbrow(n, _NB_W)
