@@ -841,16 +841,525 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
     return render
 
 
+def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
+                        n_frames: int, tex_shapes=None, cull: bool = False,
+                        interpret: bool = False):
+    """MONO ReSTIR GI: the whole frame in ONE heavy kernel.
+
+    Estimator deviation vs the 3-kernel pipeline (documented): spatial
+    neighbors are merged from the PREVIOUS frame's stage-1 reservoirs
+    (lagged spatiotemporal reuse — standard in real-time ReSTIR; the
+    sequential Pallas grid cannot give same-frame cross-tile reads inside
+    one kernel).  1/Z bias accounting is unchanged, so the estimator
+    stays unbiased; frame 1 simply has no spatial neighbors.
+
+    Motivation (PERF.md #18): rr=1 trace loops inside heavy multi-loop
+    kernels run at full speed everywhere measured; the 3-kernel GI's cost
+    is the lone rr=5 visibility trace in the thin K2b.  Here every trace
+    (primary, path, bounces, 5 visibility segments) is rr=1 inside one
+    heavy kernel.
+
+    Returns ``render(cam, P, AT, frame0, state, stage, ppv0, ppv1,
+    [TXP, TXB], [TAABB]) -> (summed hdr, new_state, new_stage)``.
+    """
+    B = width * height
+    C = _pick_ray_lanes(B)
+    TT = TRI_TILE
+    T = n_tris + ((-n_tris) % TT)
+    G = B // C
+    RS = _RS
+    n_tiles = T // TT
+    textured = tex_shapes is not None
+    sky = tuple(float(c) for c in settings.sky_color)
+    bounces = settings.bounces
+    N_NBR = settings.spatial_neighbors if settings.spatial_reuse else 0
+    radius = float(settings.spatial_radius)
+    hist = float(settings.temporal_history_limit)
+    use_temporal = settings.temporal_reuse
+
+    def kernel(*refs):
+        refs = list(refs)
+        cam_ref, frame_ref, ppv_ref, offs_ref, p_ref, a_ref = refs[:6]
+        refs = refs[6:]
+        txp_ref = refs.pop(0) if textured else None
+        txb_ref = refs.pop(0) if textured else None
+        taabb_ref = refs.pop(0) if cull else None
+        state_prev_ref = refs.pop(0)     # ANY (HBM)
+        stage_prev_ref = refs.pop(0)     # ANY (HBM)
+        (hdr_ref, state_ref, stage_ref, rayin, trout, trouti, lkin,
+         bank) = refs[:8]
+        refs = refs[8:]
+        txin, txbank = ((refs.pop(0), refs.pop(0)) if textured
+                        else (None, None))
+        trst, trsti = ((refs.pop(0), refs.pop(0)) if cull
+                       else (None, None))
+        (distst, occst, occout, win0, win1, win_t0, win_t1,
+         dma_sem) = refs
+
+        tile = pl.program_id(0)
+        cam = cam_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+        pix = tile * C + lane
+        px_i = pix % width
+        py_i = pix // width
+        ox, oy, oz, dx, dy, dz = build_raygen(cam, width, height)(pix)
+
+        trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS,
+                            taabb=taabb_ref, trst=trst, trsti=trsti)
+        shadow_visible = build_shadow_trace(p_ref, rayin, distst, occst,
+                                            occout, C, TT, T, RS,
+                                            taabb=taabb_ref)
+        rows_lookup = build_rows_lookup(lkin, bank, C, RS, _NR_MAX)
+        tex = None
+        if textured:
+            tex = dict(fetch=build_tex_lookup(txin, txbank, C, RS),
+                       txp=txp_ref, txb=txb_ref, shapes=tex_shapes)
+        surf_lookup = build_surf_lookup(
+            lambda idx, rows: rows_lookup(a_ref, T, idx, rows), tex=tex)
+
+        # ---- primary + initial path sample (as K1) ----------------------
+        t0, hit0, u0, v0, tri0 = trace(ox, oy, oz, dx, dy, dz)
+        surf0 = surf_lookup(tri0, u0, v0)
+        em0 = surf0["em"]
+        prim_emissive = hit0 & ((em0[0] * em0[0] + em0[1] * em0[1]
+                                 + em0[2] * em0[2]) > 0.0)
+        shade = hit0 & ~prim_emissive
+        px_ = ox + dx * t0
+        py_ = oy + dy * t0
+        pz_ = oz + dz * t0
+        nx, ny, nz = surf0["nx"], surf0["ny"], surf0["nz"]
+        vx, vy, vz = -dx, -dy, -dz
+
+        frame = frame_ref[0, 0].astype(jnp.uint32)
+        key = _pcg(pix.astype(jnp.uint32))
+        key = _fold(key, frame)
+        key = _fold(key, _u32(0))
+        key = _fold(key, _u32(8001))
+
+        key, u_sel = _next_uniform(key)
+        key, u1 = _next_uniform(key)
+        key, u2 = _next_uniform(key)
+        sx, sy, sz, pdf0 = _mixture_sample(u_sel, u1, u2, nx, ny, nz,
+                                           vx, vy, vz, surf0["alb"],
+                                           surf0["rough"], surf0["metal"])
+        f0 = _cook_torrance(nx, ny, nz, vx, vy, vz, sx, sy, sz,
+                            surf0["alb"], surf0["rough"], surf0["metal"])
+        cos0 = jnp.maximum(sx * nx + sy * ny + sz * nz, 0.0)
+        t1, hit1, uu1, vv1, tri1 = trace(px_ + nx * _EPS, py_ + ny * _EPS,
+                                         pz_ + nz * _EPS, sx, sy, sz)
+        surf1 = surf_lookup(tri1, uu1, vv1, bounce=True)
+        reconnect = hit1 & (pdf0 > 0.0)
+        fterm = cos0 / jnp.maximum(pdf0, 1e-12)
+        sky_direct = tuple(
+            jnp.where(~hit1 & (pdf0 > 0.0), f0[c] * fterm * sky[c], 0.0)
+            for c in range(3))
+        spx = px_ + nx * _EPS + sx * t1
+        spy = py_ + ny * _EPS + sy * t1
+        spz = pz_ + nz * _EPS + sz * t1
+
+        rad = [jnp.zeros((1, C), jnp.float32) for _ in range(3)]
+        em1 = surf1["em"]
+        em1_hit = (em1[0] * em1[0] + em1[1] * em1[1]
+                   + em1[2] * em1[2]) > 0.0
+        active = reconnect
+        for c in range(3):
+            rad[c] = rad[c] + jnp.where(active & em1_hit, em1[c], 0.0)
+        active = active & ~em1_hit
+
+        if bounces > 1:
+            zc = jnp.zeros((1, C), jnp.float32)
+
+            def bounce_body(_b, st):
+                (key, act_f, thr, rad, surf, hx, hy, hz,
+                 cdx, cdy, cdz) = st
+                act = act_f > 0.5
+                bvx, bvy, bvz = -cdx, -cdy, -cdz
+                bnx, bny, bnz = surf["nx"], surf["ny"], surf["nz"]
+                key, s1 = _next_uniform(key)
+                key, s2 = _next_uniform(key)
+                key, s3 = _next_uniform(key)
+                lx, ly, lz, pdf = _mixture_sample(
+                    s1, s2, s3, bnx, bny, bnz, bvx, bvy, bvz,
+                    surf["alb"], surf["rough"], surf["metal"])
+                f = _cook_torrance(bnx, bny, bnz, bvx, bvy, bvz, lx, ly, lz,
+                                   surf["alb"], surf["rough"], surf["metal"])
+                cos_t = jnp.maximum(lx * bnx + ly * bny + lz * bnz, 0.0)
+                ok = pdf > 0.0
+                scale = cos_t / jnp.maximum(pdf, 1e-12)
+                thr = tuple(thr[c] * f[c] * scale for c in range(3))
+                act = act & ok
+                nox = hx + bnx * _EPS
+                noy = hy + bny * _EPS
+                noz = hz + bnz * _EPS
+                t, hit, uu, vv, tri = trace(nox, noy, noz, lx, ly, lz)
+                surf2 = surf_lookup(tri, uu, vv, bounce=True)
+                miss = ~hit
+                rad = tuple(rad[c] + jnp.where(act & miss,
+                                               thr[c] * sky[c], 0.0)
+                            for c in range(3))
+                act = act & hit
+                em = surf2["em"]
+                em_hit = (em[0] * em[0] + em[1] * em[1]
+                          + em[2] * em[2]) > 0.0
+                rad = tuple(rad[c] + jnp.where(act & em_hit,
+                                               thr[c] * em[c], 0.0)
+                            for c in range(3))
+                act = act & ~em_hit
+                surf_n = dict(nx=surf2["nx"], ny=surf2["ny"], nz=surf2["nz"],
+                              alb=surf2["alb"], rough=surf2["rough"],
+                              metal=surf2["metal"])
+                return (key, act.astype(jnp.float32), thr, rad, surf_n,
+                        nox + lx * t, noy + ly * t, noz + lz * t,
+                        lx, ly, lz)
+
+            surf1c = dict(nx=surf1["nx"], ny=surf1["ny"], nz=surf1["nz"],
+                          alb=surf1["alb"], rough=surf1["rough"],
+                          metal=surf1["metal"])
+            st = jax.lax.fori_loop(
+                0, bounces - 1, bounce_body,
+                (key, active.astype(jnp.float32),
+                 (zc + 1.0, zc + 1.0, zc + 1.0), tuple(rad), surf1c,
+                 spx, spy, spz, sx, sy, sz), unroll=False)
+            key, rad = st[0], list(st[3])
+
+        rad = [jnp.where(reconnect, rad[c], 0.0) for c in range(3)]
+        src_pdf = jnp.where(reconnect, pdf0, 0.0)
+        sample = dict(sp=(spx, spy, spz),
+                      sn=(surf1["nx"], surf1["ny"], surf1["nz"]),
+                      rad=tuple(rad))
+        p_hat = _rad_norm(rad)
+        z1 = jnp.zeros((1, C), jnp.float32)
+        res = dict(sp=(z1,) * 3, sn=(z1,) * 3, rad=(z1,) * 3,
+                   phat=z1, w=z1, m=z1, wsum=z1)
+        key, u0_ = _next_uniform(key)
+        w_ris = jnp.where(src_pdf > 0.0,
+                          p_hat / jnp.maximum(src_pdf, 1e-12), 0.0)
+        res = _gi_res_update(res, sample, w_ris, 1.0, p_hat, u0_, shade)
+        res["w"] = _w_of(res)
+
+        # ---- temporal reuse (reprojected prev-state window) --------------
+        if use_temporal:
+            pv = ppv_ref[0:4, :]
+            cx_ = pv[0, 0] * px_ + pv[0, 1] * py_ + pv[0, 2] * pz_ + pv[0, 3]
+            cy_ = pv[1, 0] * px_ + pv[1, 1] * py_ + pv[1, 2] * pz_ + pv[1, 3]
+            cw_ = pv[3, 0] * px_ + pv[3, 1] * py_ + pv[3, 2] * pz_ + pv[3, 3]
+            wok = jnp.abs(cw_) >= 1e-20
+            inv_w = 1.0 / jnp.where(wok, cw_, 1.0)
+            u_ = jnp.where(wok, cx_ * inv_w, 0.0) * 0.5 + 0.5
+            v_ = jnp.where(wok, cy_ * inv_w, 0.0) * 0.5 + 0.5
+            ppx = jnp.clip((u_ * width).astype(jnp.int32), 0, width - 1)
+            ppy = jnp.clip(((1.0 - v_) * height).astype(jnp.int32), 0,
+                           height - 1)
+            prev_pix = ppx + ppy * width
+            shade_f = shade.astype(jnp.float32)
+            cnt = jnp.maximum(jnp.sum(shade_f), 1.0)
+            off = jnp.round(
+                jnp.sum((prev_pix - pix).astype(jnp.float32) * shade_f)
+                / cnt).astype(jnp.int32)
+            s_ = jnp.clip(tile * C + off, 0, B - C)
+            q0 = s_ // C
+            r_sh = s_ - q0 * C
+            q1 = jnp.minimum(q0 + 1, G - 1)
+
+            def read_state(q, win):
+                dma = pltpu.make_async_copy(
+                    state_prev_ref.at[pl.ds(q * _GST_ROWS, _GST_ROWS), :],
+                    win, dma_sem)
+                dma.start()
+                dma.wait()
+                return win[:]
+
+            b0 = pltpu.roll(read_state(q0, win_t0), (C - r_sh) % C, axis=1)
+            b1 = pltpu.roll(read_state(q1, win_t1), (C - r_sh) % C, axis=1)
+            st_ = jnp.where(lane < C - r_sh, b0, b1)
+            exact = (s_ + lane) == prev_pix
+
+            def srow(r):
+                return st_[r:r + 1, :]
+
+            prev = dict(sp=(srow(_GT_SP), srow(_GT_SP + 1), srow(_GT_SP + 2)),
+                        sn=(srow(_GT_SN), srow(_GT_SN + 1), srow(_GT_SN + 2)),
+                        rad=(srow(_GT_RAD), srow(_GT_RAD + 1),
+                             srow(_GT_RAD + 2)),
+                        phat=srow(_GT_PHAT), w=srow(_GT_W), m=srow(_GT_M),
+                        wsum=srow(_GT_WSUM))
+            pn = (srow(_GT_NRM), srow(_GT_NRM + 1), srow(_GT_NRM + 2))
+            valid = ((pn[0] * nx + pn[1] * ny + pn[2] * nz) >= 0.99) \
+                & (prev["m"] > 0.0) & shade & exact
+            cap = hist * jnp.maximum(res["m"], 1.0)
+            prev_m = jnp.minimum(prev["m"], cap)
+            key, ut = _next_uniform(key)
+            merged = _gi_res_update(res, prev,
+                                    prev["phat"] * prev["w"] * prev_m,
+                                    prev_m, prev["phat"], ut, valid)
+            merged["w"] = _w_of(merged)
+
+            def vsel(a, b):
+                return jnp.where(valid, a, b)
+
+            res = dict(
+                sp=tuple(vsel(merged["sp"][c], res["sp"][c])
+                         for c in range(3)),
+                sn=tuple(vsel(merged["sn"][c], res["sn"][c])
+                         for c in range(3)),
+                rad=tuple(vsel(merged["rad"][c], res["rad"][c])
+                          for c in range(3)),
+                phat=vsel(merged["phat"], res["phat"]),
+                w=vsel(merged["w"], res["w"]),
+                m=vsel(merged["m"], res["m"]),
+                wsum=vsel(merged["wsum"], res["wsum"]))
+
+        # stage OUT = this frame's pre-spatial reservoirs (what neighbors
+        # merge NEXT frame) — k1's output semantics
+        stage_ref[:] = jnp.concatenate([
+            px_, py_, pz_, nx, ny, nz,
+            surf0["alb"][0], surf0["alb"][1], surf0["alb"][2],
+            surf0["rough"], surf0["metal"],
+            jnp.where(hit0, t0, -1.0),
+            shade.astype(jnp.float32),
+            em0[0], em0[1], em0[2],
+            hit0.astype(jnp.float32),
+            sky_direct[0], sky_direct[1], sky_direct[2],
+            res["sp"][0], res["sp"][1], res["sp"][2],
+            res["sn"][0], res["sn"][1], res["sn"][2],
+            res["rad"][0], res["rad"][1], res["rad"][2],
+            res["phat"], res["w"], res["m"], res["wsum"],
+            jnp.zeros((_GS_ROWS - 33, C), jnp.float32),
+        ], axis=0)
+
+        # ---- lagged spatial reuse from stage_prev ------------------------
+        key = _fold(key, _u32(8002))
+        if N_NBR > 0:
+            z = jnp.where(shade, res["m"], 0.0)
+            for nidx in range(N_NBR):
+                d_x = offs_ref[nidx, 0]
+                d_y = offs_ref[nidx, 1]
+                off2 = d_y * width + d_x
+                s2 = jnp.clip(tile * C + off2, 0, B - C)
+                q0 = s2 // C
+                r_sh = s2 - q0 * C
+                q1 = jnp.minimum(q0 + 1, G - 1)
+
+                def read_stage(q, win):
+                    dma = pltpu.make_async_copy(
+                        stage_prev_ref.at[pl.ds(q * _GS_ROWS, _GS_ROWS), :],
+                        win, dma_sem)
+                    dma.start()
+                    dma.wait()
+                    return win[:]
+
+                b0 = pltpu.roll(read_stage(q0, win0), (C - r_sh) % C, axis=1)
+                b1 = pltpu.roll(read_stage(q1, win1), (C - r_sh) % C, axis=1)
+                nb = jnp.where(lane < C - r_sh, b0, b1)
+
+                ox_i = px_i + d_x
+                oy_i = py_i + d_y
+                in_img = (ox_i >= 0) & (ox_i < width) & (oy_i >= 0) \
+                    & (oy_i < height)
+                intended = (tile * C + off2) == s2
+
+                def nrow(r):
+                    return nb[r:r + 1, :]
+
+                n_t = nrow(_GS_T)
+                t_own = jnp.where(hit0, t0, -1.0)
+                depth_ok = (n_t <= 1.1 * t_own) & (n_t >= 0.9 * t_own)
+                normal_ok = (nrow(_GS_NRM) * nx + nrow(_GS_NRM + 1) * ny
+                             + nrow(_GS_NRM + 2) * nz) >= 0.906
+                ok = shade & in_img & intended & depth_ok & normal_ok \
+                    & (nrow(_GS_SHADE) > 0.5) & (nrow(_GS_M) > 0.0)
+
+                spn = (nrow(_GS_SP), nrow(_GS_SP + 1), nrow(_GS_SP + 2))
+                snn = (nrow(_GS_SN), nrow(_GS_SN + 1), nrow(_GS_SN + 2))
+                radn = (nrow(_GS_RAD), nrow(_GS_RAD + 1), nrow(_GS_RAD + 2))
+                dqx = nrow(_GS_POS) - spn[0]
+                dqy = nrow(_GS_POS + 1) - spn[1]
+                dqz = nrow(_GS_POS + 2) - spn[2]
+                drx = px_ - spn[0]
+                dry = py_ - spn[1]
+                drz = pz_ - spn[2]
+                dist_q = jnp.sqrt(jnp.maximum(
+                    dqx * dqx + dqy * dqy + dqz * dqz, 1e-20))
+                dist_r = jnp.sqrt(jnp.maximum(
+                    drx * drx + dry * dry + drz * drz, 1e-20))
+                cos_q = (snn[0] * dqx + snn[1] * dqy + snn[2] * dqz) / dist_q
+                cos_r = (snn[0] * drx + snn[1] * dry + snn[2] * drz) / dist_r
+                jac = jnp.where(cos_q > 0.0,
+                                cos_r / jnp.maximum(cos_q, 1e-12), 0.0) \
+                    * (dist_q * dist_q) / jnp.maximum(dist_r * dist_r, 1e-20)
+                p_n = jnp.where(jac > 0.0,
+                                _rad_norm(radn) / jnp.maximum(jac, 1e-12),
+                                0.0)
+                # rr=1 visibility segment (sample point -> visible point)
+                vis = shadow_visible(spn[0] + snn[0] * _EPS,
+                                     spn[1] + snn[1] * _EPS,
+                                     spn[2] + snn[2] * _EPS,
+                                     drx / dist_r, dry / dist_r,
+                                     drz / dist_r, dist_r)
+                p_n = jnp.where(vis, p_n, 0.0)
+                nb_w = nrow(_GS_W)
+                nb_m = nrow(_GS_M)
+                ns = dict(sp=spn, sn=snn, rad=radn)
+                z = z + jnp.where(ok, nb_m, 0.0)
+                key, u_acc = _next_uniform(key)
+                res = _gi_res_update(res, ns, p_n * nb_w * nb_m, nb_m,
+                                     p_n, u_acc, ok)
+
+            p_sel = res["phat"]
+            res["w"] = jnp.where(
+                p_sel > 0.0,
+                res["wsum"] / (jnp.maximum(z, 1.0)
+                               * jnp.where(p_sel > 0.0, p_sel, 1.0)),
+                0.0)
+
+        # ---- shade -------------------------------------------------------
+        tsx = res["sp"][0] - px_
+        tsy = res["sp"][1] - py_
+        tsz = res["sp"][2] - pz_
+        dist = jnp.sqrt(jnp.maximum(tsx * tsx + tsy * tsy + tsz * tsz,
+                                    1e-20))
+        sdx, sdy, sdz = tsx / dist, tsy / dist, tsz / dist
+        f = _cook_torrance(nx, ny, nz, vx, vy, vz, sdx, sdy, sdz,
+                           surf0["alb"], surf0["rough"], surf0["metal"])
+        cos_t = jnp.maximum(sdx * nx + sdy * ny + sdz * nz, 0.0)
+        lane_ok = shade & (res["w"] > 0.0)
+        miss = ~hit0
+        prim_em = prim_emissive
+        rows_hdr = []
+        for c in range(3):
+            gi = jnp.where(lane_ok,
+                           f[c] * cos_t * res["w"] * res["rad"][c], 0.0)
+            v = gi + jnp.where(shade, sky_direct[c], 0.0)
+            v = jnp.where(miss, sky[c], v)
+            v = jnp.where(prim_em, em0[c], v)
+            rows_hdr.append(v)
+        hdr_ref[:] = jnp.concatenate(
+            rows_hdr + [jnp.zeros((5, C), jnp.float32)], axis=0)
+
+        state_ref[:] = jnp.concatenate([
+            res["sp"][0], res["sp"][1], res["sp"][2],
+            res["sn"][0], res["sn"][1], res["sn"][2],
+            res["rad"][0], res["rad"][1], res["rad"][2],
+            res["phat"], res["w"], res["m"], res["wsum"],
+            nx, ny, nz,
+        ], axis=0)
+
+    grid = (G,)
+    full = lambda i: (0, 0)
+    blocked = lambda rows: pl.BlockSpec((rows, C), lambda i: (i, 0),
+                                        memory_space=pltpu.VMEM)
+
+    def k_call(cam, frame_arr, ppv, offs, P, AT, state, stage,
+               TXP=None, TXB=None, TAABB=None):
+        in_specs = [
+            pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(N_NBR, 1), 2), full, memory_space=pltpu.SMEM),
+            pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_A_COLS, T), full, memory_space=pltpu.VMEM),
+        ]
+        args = [cam, frame_arr, ppv, offs, P, AT]
+        scr = [
+            pltpu.VMEM((6 * RS, C), jnp.float32),        # rayin
+            pltpu.VMEM((3 * RS, C), jnp.float32),        # trout
+            pltpu.VMEM((RS, C), jnp.int32),              # trouti
+            pltpu.VMEM((RS, C), jnp.int32),              # lkin
+            pltpu.VMEM((_NR_MAX * RS, C), jnp.float32),  # bank
+        ]
+        if textured:
+            (khp, hp, wp), (khb, hb, wb) = tex_shapes
+            in_specs.append(pl.BlockSpec((3 * wp + (-3 * wp) % 8, khp),
+                                         full, memory_space=pltpu.VMEM))
+            in_specs.append(pl.BlockSpec((3 * wb + (-3 * wb) % 8, khb),
+                                         full, memory_space=pltpu.VMEM))
+            args.extend([TXP, TXB])
+            scr += [pltpu.VMEM((3 * RS, C), jnp.float32),
+                    pltpu.VMEM((3 * RS, C), jnp.float32)]
+        if cull:
+            in_specs.append(pl.BlockSpec((n_tiles, 8), full,
+                                         memory_space=pltpu.SMEM))
+            args.append(TAABB)
+            scr += [pltpu.VMEM((RS, C), jnp.float32),
+                    pltpu.VMEM((RS, C), jnp.int32)]
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # state_prev
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # stage_prev
+        args.extend([state, stage])
+        scr += [
+            pltpu.VMEM((RS, C), jnp.float32),            # distst
+            pltpu.VMEM((8, C), jnp.float32),             # occst
+            pltpu.VMEM((RS, C), jnp.float32),            # occout
+            pltpu.VMEM((_GS_ROWS, C), jnp.float32),      # win0
+            pltpu.VMEM((_GS_ROWS, C), jnp.float32),      # win1
+            pltpu.VMEM((_GST_ROWS, C), jnp.float32),     # win_t0
+            pltpu.VMEM((_GST_ROWS, C), jnp.float32),     # win_t1
+            pltpu.SemaphoreType.DMA(()),
+        ]
+        return pl.pallas_call(
+            kernel, grid=grid,
+            in_specs=in_specs,
+            out_specs=[blocked(8), blocked(_GST_ROWS), blocked(_GS_ROWS)],
+            out_shape=[jax.ShapeDtypeStruct((G * 8, C), jnp.float32),
+                       jax.ShapeDtypeStruct((G * _GST_ROWS, C), jnp.float32),
+                       jax.ShapeDtypeStruct((G * _GS_ROWS, C), jnp.float32)],
+            scratch_shapes=scr,
+            interpret=interpret,
+        )(*args)
+
+    @jax.jit
+    def render(cam, P, AT, frame0, state, stage, ppv0=None, ppv1=None,
+               TXP=None, TXB=None, TAABB=None):
+        if ppv0 is None:
+            ppv0 = jnp.eye(4, dtype=jnp.float32)
+        if ppv1 is None:
+            ppv1 = ppv0
+
+        def body(fi, carry):
+            accum, st, sg = carry
+            frame = (frame0 + fi).astype(jnp.uint32)
+            frame_arr = frame.reshape(1, 1).astype(jnp.int32)
+            ppv = jnp.where(fi == 0, ppv0, ppv1)
+            ppv_pad = jnp.concatenate(
+                [ppv, jnp.zeros((4, 4), jnp.float32)], axis=0)
+            okey = host_rng.path_key(jnp.uint32(0xD1CE), frame, 0,
+                                     stream=8002)
+            offs = []
+            for _ in range(max(N_NBR, 1)):
+                okey, ux = host_rng.next_uniform(okey)
+                okey, uy = host_rng.next_uniform(okey)
+                offs.append(((ux * 2.0 - 1.0) * radius).astype(jnp.int32))
+                offs.append(((uy * 2.0 - 1.0) * radius).astype(jnp.int32))
+            offs = jnp.stack(offs).reshape(max(N_NBR, 1), 2)
+            hdr, st2, sg2 = k_call(cam, frame_arr, ppv_pad, offs, P, AT,
+                                   st, sg, TXP, TXB, TAABB)
+            return accum + hdr, st2, sg2
+
+        accum0 = jnp.zeros((G * 8, C), jnp.float32)
+        accum, state, stage = jax.lax.fori_loop(
+            0, n_frames, body, (accum0, state, stage))
+        hdr = accum.reshape(G, 8, C)[:, :3, :].transpose(0, 2, 1)
+        return hdr.reshape(B, 3), state, stage
+
+    return render
+
+
 class MegakernelReSTIRGI:
     """Offline static-camera ReSTIR GI fast path."""
 
-    def __init__(self, scene: Scene, camera, settings, interpret: bool = False):
+    def __init__(self, scene: Scene, camera, settings, interpret: bool = False,
+                 mono: bool | None = None):
+        import os
+
         mscene, _ = morton_permuted_scene(scene)
         self.taabb = prepare_tile_aabbs(mscene, TRI_TILE)
         self.scene = jax.tree_util.tree_map(jnp.asarray, mscene)
         self.camera = camera
         self.settings = settings
         self.interpret = interpret
+        # mono = single-kernel frame with LAGGED spatial reuse (see
+        # make_restir_gi_mono); opt-in via arg or FYP_GI_MONO=1
+        self.mono = (bool(int(os.environ.get("FYP_GI_MONO", "0")))
+                     if mono is None else mono)
         self.frame_index = 1
         self.tables = prepare_scene_tables(self.scene)
         self.tex_tables = self.tex_shapes = None
@@ -860,12 +1369,15 @@ class MegakernelReSTIRGI:
         B = camera.width * camera.height
         C = _pick_ray_lanes(B)
         self.state = jnp.zeros((B // C * _GST_ROWS, C), jnp.float32)
+        self.stage = jnp.zeros((B // C * _GS_ROWS, C), jnp.float32)
         self.accum = jnp.zeros((B, 3), jnp.float32)
         self._cache = {}
 
     def _renderer(self, n_frames):
         if n_frames not in self._cache:
-            self._cache[n_frames] = make_restir_gi_megakernel(
+            make = make_restir_gi_mono if self.mono \
+                else make_restir_gi_megakernel
+            self._cache[n_frames] = make(
                 self.camera.width, self.camera.height, self.settings,
                 self.scene.geometry.tri_v.shape[0], n_frames,
                 tex_shapes=self.tex_shapes, cull=True,
@@ -877,11 +1389,16 @@ class MegakernelReSTIRGI:
                                jnp.asarray(self.camera.inv_view)], axis=0)
         P, AT = self.tables
         txp, txb = self.tex_tables if self.tex_tables else (None, None)
-        summed, self.state = self._renderer(n_frames)(
-            cam, P, AT, jnp.uint32(self.frame_index), self.state,
-            ppv0=jnp.asarray(self.camera.prev_proj_view),
-            ppv1=jnp.asarray(self.camera.proj_view),
-            TXP=txp, TXB=txb, TAABB=self.taabb)
+        kw = dict(ppv0=jnp.asarray(self.camera.prev_proj_view),
+                  ppv1=jnp.asarray(self.camera.proj_view),
+                  TXP=txp, TXB=txb, TAABB=self.taabb)
+        if self.mono:
+            summed, self.state, self.stage = self._renderer(n_frames)(
+                cam, P, AT, jnp.uint32(self.frame_index), self.state,
+                self.stage, **kw)
+        else:
+            summed, self.state = self._renderer(n_frames)(
+                cam, P, AT, jnp.uint32(self.frame_index), self.state, **kw)
         self.camera.commit_frame()
         self.accum = self.accum + summed
         self.frame_index += n_frames

@@ -118,3 +118,29 @@ def test_megakernel_restir_di_moving_camera_unbiased():
     rel = abs(pose_b.mean() - ref.mean()) / ref.mean()
     assert np.isfinite(pose_b).all()
     assert rel < 0.08, (pose_b.mean(), ref.mean())
+
+
+def test_megakernel_restir_gi_mono_unbiased():
+    """Single-kernel GI (lagged spatial reuse) stays unbiased vs the BRDF
+    path tracer — per-quadrant, like the 3-kernel variant's test."""
+    from fypraytracer_tpu.oracle.cpu_renderer import accumulate_oracle
+    from fypraytracer_tpu.render.megakernel_restir_gi import MegakernelReSTIRGI
+
+    builder, cam = cornell_box(width=32, height=32, with_spheres=False)
+    scene = builder.compile()
+    settings = RenderSettings(technique=SamplingTechnique.RESTIR_GI,
+                              bounces=2, spatial_neighbors=3,
+                              spatial_radius=8)
+    frames = 40
+    mk = MegakernelReSTIRGI(scene, cam, settings, interpret=True, mono=True)
+    avg = np.asarray(mk.render_many(frames)).reshape(32, 32, 3)
+    assert np.isfinite(avg).all()
+    ref = accumulate_oracle(scene, cam, RenderSettings(
+        technique=SamplingTechnique.BRDF, bounces=2, samples=4), frames)
+    rel = abs(avg.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.06, (avg.mean(), ref.mean())
+    for qy in (slice(0, 16), slice(16, 32)):
+        for qx in (slice(0, 16), slice(16, 32)):
+            a = avg[qy, qx].mean()
+            b = ref[qy, qx].mean()
+            assert abs(a - b) / max(b, 1e-9) < 0.15, (qy, qx, a, b)
