@@ -25,6 +25,17 @@ def main():
 
     builder, cam = builtin_scene(os.environ.get("PROBE_SCENE", "cornell"),
                                  256, 256)
+    # PROBE_DUP=k duplicates every mesh k-1 extra times: same geometry
+    # density / shading work / light tree as the base scene but k x the
+    # table sizes + tile count — isolates "per-iteration cost grows with
+    # T" (PERF.md #19) from scene content
+    dup = int(os.environ.get("PROBE_DUP", "1"))
+    if dup > 1:
+        import copy
+        base = list(builder.meshes)
+        for _ in range(dup - 1):
+            for m in base:
+                builder.meshes.append(copy.deepcopy(m))
     scene = builder.compile()
 
     from fypraytracer_tpu.render import megakernel as mkmod
