@@ -246,7 +246,22 @@ def cmd_train(args):
     print(json.dumps({"final_albedo_mae": err}))
 
 
+def _enable_compile_cache():
+    """Persistent compile cache: remote (axon) compiles run ~40 s - 9 min;
+    warm runs skip them entirely (same policy as bench.py)."""
+    try:
+        import jax
+
+        cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="fypraytracer_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
