@@ -92,5 +92,8 @@ def builtin_scene(name: str, width: int, height: int):
         return procedural.single_triangle()
     if name == "room":
         return procedural.room(width=width, height=height)
+    if name == "stress":
+        return procedural.stress(width=width, height=height)
     raise ValueError(f"unknown builtin scene {name!r} "
-                     "(try: cornell, cornell-empty, triangle, room)")
+                     "(try: cornell, cornell-empty, triangle, room, "
+                     "stress)")

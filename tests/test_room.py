@@ -59,3 +59,22 @@ def test_room_obj_sizes():
     assert len(tri) > 500 and uv is not None
     pos, tri, nrm, uv = load_obj(_find_asset("toaster.obj"))
     assert len(tri) > 2000 and uv is not None
+
+
+def test_stress_scene_builds_and_renders():
+    """The ~200k-tri stress scene compiles (native builders) and renders
+    correctly through the large-scene traversal path."""
+    import numpy as np
+
+    from fypraytracer_tpu.config import RenderSettings, SamplingTechnique
+    from fypraytracer_tpu.render.renderer import Renderer
+    from fypraytracer_tpu.scene.sceneio import builtin_scene
+
+    b, cam = builtin_scene("stress", 16, 16)
+    scene = b.compile()
+    assert scene.geometry.tri_v.shape[0] > 100_000
+    r = Renderer(scene, cam, RenderSettings(
+        technique=SamplingTechnique.COSINE, bounces=1, samples=1))
+    hdr = np.asarray(r.render_hdr())
+    assert np.isfinite(hdr).all()
+    assert hdr.mean() > 1e-3
