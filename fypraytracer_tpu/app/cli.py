@@ -206,8 +206,58 @@ def cmd_benchmark(args):
             json.dump(rows, f, indent=2)
 
 
+def _train_fast(args, scene, cam):
+    """Fused-kernel inverse rendering (albedo parameters)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from fypraytracer_tpu.core.camera import generate_rays
+    from fypraytracer_tpu.ops.dense import pick_tracer
+    from fypraytracer_tpu.render.integrators import radiance_hemisphere
+    from fypraytracer_tpu.render.megakernel_diff import DiffRenderer
+
+    settings = _settings(args, SamplingTechnique.COSINE)
+    dscene = scene.device_put()
+    B = cam.width * cam.height
+    o, d = generate_rays(cam.inv_projection, cam.inv_view,
+                         cam.width, cam.height, xp=jnp)
+    pix = jnp.arange(B, dtype=jnp.uint32)
+    tr = pick_tracer(dscene, settings.tracer)
+    n_tgt = min(args.steps, 4)
+    targets = {f: radiance_hemisphere(dscene, tr, o, d, pix, jnp.uint32(f),
+                                      settings, "cosine")
+               for f in range(1, n_tgt + 1)}
+
+    dr = DiffRenderer(scene, cam, bounces=args.bounces,
+                      sky_color=tuple(args.sky),
+                      interpret=jax.default_backend() == "cpu")
+    true_alb = dscene.materials.albedo
+    key = jax.random.PRNGKey(0)
+    alb = jnp.clip(true_alb + 0.25 * jax.random.normal(key, true_alb.shape),
+                   0.05, 0.95)
+    import time as _t
+    t0 = _t.perf_counter()
+    for i in range(args.steps):
+        f = 1 + (i % n_tgt)
+        alb, loss = dr.step(alb, targets[f], f, lr=args.lr * 10)
+        alb = jnp.clip(alb, 0.0, 1.0)
+        if i % max(args.steps // 10, 1) == 0 or i == args.steps - 1:
+            print(json.dumps({"step": i, "loss": float(loss)}))
+    dt = (_t.perf_counter() - t0) / args.steps
+    err = float(jnp.abs(alb - true_alb).mean())
+    print(json.dumps({"final_albedo_mae": err, "impl": "megakernel",
+                      "avg_step_ms": round(dt * 1000, 2)}))
+
+
 def cmd_train(args):
-    """Inverse-rendering demo: recover albedos from a rendered target."""
+    """Inverse-rendering demo: recover albedos from a rendered target.
+
+    ``--impl megakernel`` uses the fused loss+gradient kernel
+    (render/megakernel_diff.py; albedo parameters, cosine estimator) —
+    orders of magnitude fewer op dispatches per step than the autodiff
+    wavefront path."""
     import jax
     import jax.numpy as jnp
 
@@ -215,6 +265,8 @@ def cmd_train(args):
         make_pixel_mesh, make_train_step, replicate_scene)
 
     scene, cam = _load_scene(args)
+    if args.impl == "megakernel":
+        return _train_fast(args, scene, cam)
     settings = _settings(args, SamplingTechnique.NEE_MIS)
     mesh = make_pixel_mesh(jax.devices()[:args.devices] if args.devices else None)
     scene_d = replicate_scene(scene, mesh)
@@ -308,6 +360,9 @@ def main(argv=None):
     t.add_argument("--steps", type=int, default=30)
     t.add_argument("--lr", type=float, default=0.2)
     t.add_argument("--devices", type=int, default=None)
+    t.add_argument("--impl", choices=["wavefront", "megakernel"],
+                   default="wavefront",
+                   help="megakernel = fused loss+albedo-grad kernel")
     t.set_defaults(fn=cmd_train)
 
     args = p.parse_args(argv)
