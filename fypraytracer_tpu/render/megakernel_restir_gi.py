@@ -1190,12 +1190,23 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
                 p_n = jnp.where(jac > 0.0,
                                 _rad_norm(radn) / jnp.maximum(jac, 1e-12),
                                 0.0)
-                # rr=1 visibility segment (sample point -> visible point)
-                vis = shadow_visible(spn[0] + snn[0] * _EPS,
-                                     spn[1] + snn[1] * _EPS,
-                                     spn[2] + snn[2] * _EPS,
-                                     drx / dist_r, dry / dist_r,
-                                     drz / dist_r, dist_r)
+                import os as _os
+                if int(_os.environ.get("FYP_GI_FAKE_VIS", "0")):
+                    # PERF PROBE ONLY (wrong image): trace synthetic
+                    # register-derived rays of the same count — isolates
+                    # whether DMA-derived trace inputs are the cost
+                    # (PERF.md #18a round-3 test)
+                    vis = shadow_visible(px_, py_, pz_,
+                                         nx, ny, nz,
+                                         jnp.full((1, C), 0.5, jnp.float32)
+                                         + 0.01 * nidx)
+                else:
+                    # rr=1 visibility segment (sample point -> visible pt)
+                    vis = shadow_visible(spn[0] + snn[0] * _EPS,
+                                         spn[1] + snn[1] * _EPS,
+                                         spn[2] + snn[2] * _EPS,
+                                         drx / dist_r, dry / dist_r,
+                                         drz / dist_r, dist_r)
                 p_n = jnp.where(vis, p_n, 0.0)
                 nb_w = nrow(_GS_W)
                 nb_m = nrow(_GS_M)
