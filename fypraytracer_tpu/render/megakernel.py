@@ -946,8 +946,14 @@ def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX,
             if n_chunks == 1:
                 iota_t = jax.lax.broadcasted_iota(jnp.int32, (csz, C), 0)
                 oh = (iota_t == idxg).astype(jnp.float32)
+                # precision=HIGHEST: the MXU's default f32 matmul rounds
+                # operands toward bf16 — a one-hot FETCH must return the
+                # table value exactly (bf16-quantized light positions made
+                # the room scene's shadow rays miss: lights sit 1e-4 below
+                # the ceiling, bf16 error ~8e-3 at that scale -> black)
                 at = jnp.dot(table_ref[:], oh,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
             else:
                 def cbody(q, acc):
                     iota_t = jax.lax.broadcasted_iota(
@@ -955,7 +961,8 @@ def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX,
                     oh = (iota_t == idxg).astype(jnp.float32)
                     return acc + jnp.dot(
                         table_ref[:, pl.ds(q * csz, csz)], oh,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
 
                 at = jax.lax.fori_loop(
                     0, n_chunks, cbody,
@@ -1011,7 +1018,8 @@ def build_tex_lookup(txin, txbank, C, RS=_RS):
             oh = jnp.where(iota_kh == r0, 1.0 - ay, 0.0) \
                 + jnp.where(iota_kh == r1, ay, 0.0)
             blk = jnp.dot(table_ref[:], oh,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
             n_rows = blk.shape[0]     # 3w rounded up to a sublane multiple
             iota_r = jax.lax.broadcasted_iota(jnp.int32, (n_rows, C), 0)
             outs = []

@@ -226,7 +226,8 @@ def make_diff_megakernel(width: int, height: int, bounces: int, sky_color,
                 gsel + [jnp.zeros((5, C), jnp.float32)], axis=0)  # (8, C)
             upd = jax.lax.dot_general(
                 oh, gmat, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)               # (T, 8)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)              # (T, 8)
             da_ref[:] = da_ref[:] + upd
 
     grid = (G,)
