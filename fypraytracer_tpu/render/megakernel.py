@@ -915,11 +915,11 @@ def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX,
     slices with differing sublane offsets does not lower in Mosaic.
 
     ``chunk`` > 0 accumulates the matmul over lane-tile chunks so the
-    scoped one-hot stays at (chunk, C).  Measured on v5e (probe_lookup):
-    the monolithic one-hot costs 0.018 ms/fetch at T=1280 and 0.50 ms at
-    T=7680; chunking at 2048 made T=7680 WORSE (1.35 ms) — per-chunk fori
-    overhead dominates — so chunking stays opt-in (chunk=0 default) until
-    a faster big-table fetch exists."""
+    scoped one-hot stays at (chunk, C); with chunk=0, tables past 4096
+    entries auto-chunk (a monolithic one-hot at T=7680 is 15.7 MB and
+    overflows the 16 MB scoped-vmem budget alongside the trace
+    intermediates).  Measured on v5e (probe_lookup): monolithic
+    0.018 ms/fetch at T=1280, 0.50 ms at T=7680; 2048-chunks 1.35 ms."""
 
     def bank_append(pieces):
         segs = []
@@ -929,12 +929,27 @@ def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX,
                         else bank[j * RS:j * RS + 1])
         bank[:] = jnp.concatenate(segs, axis=0)
 
-    def lookup(table_ref, n_entries, idx, rows):
+    def lookup(table_ref, n_entries, idx, rows, exact: bool = False):
+        """``exact=True`` fetches at Precision.HIGHEST — required whenever
+        the fetched values feed GEOMETRY (light positions for shadow-ray
+        identity checks): the MXU's default f32 matmul rounds operands
+        toward bf16, and bf16-quantized light positions made the room
+        scene's shadow rays miss (lights sit 1e-4 below the ceiling,
+        bf16 error ~8e-3 at that scale -> black image).  Colors, normals
+        and importance weights tolerate the default precision (the same
+        fetch style is used consistently on both sides of every
+        probability ratio)."""
         rr = idx.shape[0]
         lkin[0:rr, :] = idx
         k_rows = table_ref.shape[0]
-        if chunk and n_entries > chunk:
-            n_chunks = -(-n_entries // chunk)
+        prec = (jax.lax.Precision.HIGHEST if exact
+                else jax.lax.Precision.DEFAULT)
+        # bound the scoped one-hot: a monolithic (T, C) one-hot at T=7680
+        # is 15.7 MB and overflows the 16 MB scoped-vmem budget alongside
+        # the trace intermediates (measured compile OOM)
+        eff_chunk = chunk if chunk else (4096 if n_entries > 4096 else 0)
+        if eff_chunk and n_entries > eff_chunk:
+            n_chunks = -(-n_entries // eff_chunk)
             while n_entries % n_chunks:
                 n_chunks += 1
             csz = n_entries // n_chunks
@@ -946,14 +961,9 @@ def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX,
             if n_chunks == 1:
                 iota_t = jax.lax.broadcasted_iota(jnp.int32, (csz, C), 0)
                 oh = (iota_t == idxg).astype(jnp.float32)
-                # precision=HIGHEST: the MXU's default f32 matmul rounds
-                # operands toward bf16 — a one-hot FETCH must return the
-                # table value exactly (bf16-quantized light positions made
-                # the room scene's shadow rays miss: lights sit 1e-4 below
-                # the ceiling, bf16 error ~8e-3 at that scale -> black)
                 at = jnp.dot(table_ref[:], oh,
                              preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=prec)
             else:
                 def cbody(q, acc):
                     iota_t = jax.lax.broadcasted_iota(
@@ -962,7 +972,7 @@ def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX,
                     return acc + jnp.dot(
                         table_ref[:, pl.ds(q * csz, csz)], oh,
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=prec)
 
                 at = jax.lax.fori_loop(
                     0, n_chunks, cbody,
@@ -1018,8 +1028,7 @@ def build_tex_lookup(txin, txbank, C, RS=_RS):
             oh = jnp.where(iota_kh == r0, 1.0 - ay, 0.0) \
                 + jnp.where(iota_kh == r1, ay, 0.0)
             blk = jnp.dot(table_ref[:], oh,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          preferred_element_type=jnp.float32)
             n_rows = blk.shape[0]     # 3w rounded up to a sublane multiple
             iota_r = jax.lax.broadcasted_iota(jnp.int32, (n_rows, C), 0)
             outs = []
@@ -1195,8 +1204,8 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                             taabb=taabb_ref, trst=trst, trsti=trsti)
         _rows_lookup = build_rows_lookup(lkin, bank, C, RS, NR_MAX)
 
-        def tri_rows(tri_idx, rows):
-            return _rows_lookup(a_ref, T, tri_idx, rows)
+        def tri_rows(tri_idx, rows, exact=False):
+            return _rows_lookup(a_ref, T, tri_idx, rows, exact=exact)
 
         tex = None
         if textured:
@@ -1415,7 +1424,9 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
             key, lu1 = _next_uniform(key)
             key, lu2 = _next_uniform(key)
             lt_tri, pmf = pick_light(u_pick, hx, hy, hz)
-            lat = tri_rows(lt_tri, _LIGHT_ROWS)
+            # exact fetch: light geometry feeds the shadow-ray identity
+            # check (see build_rows_lookup precision note)
+            lat = tri_rows(lt_tri, _LIGHT_ROWS, exact=True)
             su = jnp.sqrt(lu1)
             b1 = su * (1.0 - lu2)
             b2 = su * lu2

@@ -490,7 +490,9 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
         # final shade (Renderer.cu:1957-2031)
         key, up1 = _next_uniform(key)
         key, up2 = _next_uniform(key)
-        em = em_lookup(res[0].astype(jnp.int32), rows=_SHADE_ROWS)
+        # exact fetch: emitter geometry feeds the shadow-ray identity check
+        em = rows_lookup(e_ref, e_pad, res[0].astype(jnp.int32),
+                         _SHADE_ROWS, exact=True)
         su = jnp.sqrt(up1)
         b1_ = su * (1.0 - up2)
         b2_ = su * up2
