@@ -942,8 +942,13 @@ def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX,
         rr = idx.shape[0]
         lkin[0:rr, :] = idx
         k_rows = table_ref.shape[0]
+        # never DEFAULT: single-pass bf16 matmuls mangle every fetched
+        # VALUE-AS-ID >= 256 (light-tree child links, leaf triangle ids —
+        # the room's light ids ~7500 never matched the shadow identity
+        # check -> black).  HIGH (bf16x3) reconstructs f32 products to
+        # ~2^-21 relative: ids exact, positions to ~1e-6.
         prec = (jax.lax.Precision.HIGHEST if exact
-                else jax.lax.Precision.DEFAULT)
+                else jax.lax.Precision.HIGH)
         # bound the scoped one-hot: a monolithic (T, C) one-hot at T=7680
         # is 15.7 MB and overflows the 16 MB scoped-vmem budget alongside
         # the trace intermediates (measured compile OOM)
