@@ -942,13 +942,16 @@ def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX,
         rr = idx.shape[0]
         lkin[0:rr, :] = idx
         k_rows = table_ref.shape[0]
-        # never DEFAULT: single-pass bf16 matmuls mangle every fetched
+        # ALWAYS exact: single-pass bf16 matmuls mangle every fetched
         # VALUE-AS-ID >= 256 (light-tree child links, leaf triangle ids —
         # the room's light ids ~7500 never matched the shadow identity
-        # check -> black).  HIGH (bf16x3) reconstructs f32 products to
-        # ~2^-21 relative: ids exact, positions to ~1e-6.
-        prec = (jax.lax.Precision.HIGHEST if exact
-                else jax.lax.Precision.HIGH)
+        # check -> black) and quantize fetched positions.  Mosaic only
+        # lowers DEFAULT and HIGHEST, so every fetch pays the multi-pass
+        # cost (~2x NEE frame time); round-3 recovery: split id rows into
+        # bf16-exact hi/lo pairs + relative positions, then drop back to
+        # DEFAULT.  The ``exact`` arg is kept for that future split.
+        del exact
+        prec = jax.lax.Precision.HIGHEST
         # bound the scoped one-hot: a monolithic (T, C) one-hot at T=7680
         # is 15.7 MB and overflows the 16 MB scoped-vmem budget alongside
         # the trace intermediates (measured compile OOM)
