@@ -93,8 +93,11 @@ def report(dt: float, impl: str) -> None:
     rays_per_frame = WIDTH * HEIGHT * SAMPLES * (1 + BOUNCES * 2)
     rays_per_s = rays_per_frame / dt
 
+    # anchor to the repo root — the driver may run bench.py from any CWD,
+    # and a CWD-relative glob silently reports vs_baseline=1.0
+    repo = os.path.dirname(os.path.abspath(__file__))
     prev = 0.0
-    for f in sorted(glob.glob("BENCH_r*.json")):
+    for f in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json"))):
         try:
             rec = json.load(open(f))
             if rec.get("metric") == "rays_per_second":

@@ -142,6 +142,44 @@ _P_COLS = 64
 _DESC_ROWS = list(range(30))  # one descent level: both imps + child ids
 _PMF_ROWS = list(range(_P_PLIMP, _P_PLIMP + 28)) + [_P_ISL, _P_PAR]
 
+# ---- bf16-exact residual rows -------------------------------------------
+# The MXU's default f32 matmul rounds both operands to bf16, which mangles
+# every fetched VALUE-AS-ID >= 256 (light-tree leaf triangle ids — the
+# room's ~7500 never matched the shadow identity check -> black image) and
+# quantizes fetched light geometry (~8e-3 at room scale; the lights sit
+# 1e-4 below the ceiling).  Rather than fetching at Precision.HIGHEST
+# (6 MXU passes — it cost 2.2x on the round-2 flagship bench), id- and
+# geometry-valued table rows are stored as a bf16-ROUNDED main row plus a
+# bf16-rounded RESIDUAL row appended past the original table height; a
+# fetch reads both in the SAME one-hot matmul (the extra rows are free:
+# the output height stays under the 128-wide MXU tile) and sums them.
+# main + residual == f32 value exactly for ids < 2^16 and to ~4e-6
+# relative for geometry — and both rows pass through the MXU's operand
+# rounding unchanged because they are already bf16 values.
+_A_EXACT = list(range(_A_P0, _A_NS + 3))       # P0,E1,E2,AREA,LEAF,NS
+_A_LO = {r: _A_COLS + i for i, r in enumerate(_A_EXACT)}
+_A_ROWS_TOT = _A_COLS + len(_A_EXACT) + (-(_A_COLS + len(_A_EXACT))) % 8
+
+_P_EXACT = [_P_LID, _P_RID, _P_TRI, _P_PAR]    # node/triangle links
+_P_LO = {r: _P_COLS + i for i, r in enumerate(_P_EXACT)}
+_P_ROWS_TOT = _P_COLS + len(_P_EXACT) + (-(_P_COLS + len(_P_EXACT))) % 8
+
+
+def append_residual_rows(tbl, exact_cols, rows_tot):
+    """Split ``tbl[:, exact_cols]`` into bf16-exact (main, residual) pairs.
+
+    ``tbl`` is (N, k) with attributes in columns.  Returns (N, rows_tot):
+    the exact columns replaced by their bf16 rounding and the bf16-rounded
+    residuals appended at ``k + i`` (the ``*_LO`` map layout), zero-padded
+    to ``rows_tot``."""
+    hi = tbl[:, exact_cols].astype(jnp.bfloat16).astype(jnp.float32)
+    lo = (tbl[:, exact_cols] - hi).astype(jnp.bfloat16).astype(jnp.float32)
+    tbl = tbl.at[:, exact_cols].set(hi)
+    k = tbl.shape[1]
+    out = jnp.zeros((tbl.shape[0], rows_tot), jnp.float32)
+    out = out.at[:, :k].set(tbl)
+    return out.at[:, k:k + len(exact_cols)].set(lo)
+
 _SURF_ROWS = list(range(_A_ALBEDO, _A_ALBEDO + 3)) \
     + list(range(_A_EMISSION, _A_EMISSION + 3)) + [_A_ROUGH, _A_METAL] \
     + list(range(_A_N0, _A_N0 + 9)) + [_A_AREA, _A_LEAF]
@@ -214,15 +252,16 @@ def build_attr_matrix(scene: Scene, tri_tile: int = TRI_TILE):
         A = jnp.pad(A, ((0, pad_t), (0, 0)), constant_values=0.0)
         A = A.at[T:, _A_LEAF].set(-1.0)
         A = A.at[T:, _A_TEXPAGE].set(-1.0)
-    return wn, wu, wv, A
+    return wn, wu, wv, append_residual_rows(A, _A_EXACT, _A_ROWS_TOT)
 
 
 def prepare_scene_tables(scene: Scene):
     """Flatten the scene into the megakernel's tables (host/jit).
 
     Returns ``(P, A_T)``: P (T, 16) plane coefficients
-    [wn(4) | wu(4) | wv(4) | pad], A_T (_A_COLS, T) transposed attribute
-    table for ``A_T @ onehot`` lane-layout lookups."""
+    [wn(4) | wu(4) | wv(4) | pad], A_T (_A_ROWS_TOT, T) transposed
+    attribute table for ``A_T @ onehot`` lane-layout lookups (rows past
+    _A_COLS are the bf16 residuals of the ``_A_EXACT`` rows)."""
     wn, wu, wv, A = build_attr_matrix(scene, TRI_TILE)
     T = A.shape[0]
     P = jnp.concatenate([wn, wu, wv, jnp.zeros((T, 4), jnp.float32)], axis=1)
@@ -260,8 +299,17 @@ def morton_permuted_scene(scene: Scene):
         leaf_of_tri=np.asarray(lt.leaf_of_tri)[perm])
     new_g = dataclasses.replace(
         g, tri_v=tv[perm], tri_mat=np.asarray(g.tri_mat)[perm])
+    # keep the BVH consistent too (prim_idx holds triangle ids): the
+    # megakernels never walk it, but the permuted scene is stored on the
+    # renderer objects and must stay self-consistent for any BVH-based
+    # consumer (e.g. a wavefront fallback)
+    pidx = np.asarray(scene.bvh.prim_idx)
+    new_bvh = dataclasses.replace(
+        scene.bvh,
+        prim_idx=np.where(pidx >= 0, inv[np.maximum(pidx, 0)],
+                          -1).astype(np.int32))
     new_scene = dataclasses.replace(
-        scene, geometry=new_g, light_tree=new_lt,
+        scene, geometry=new_g, light_tree=new_lt, bvh=new_bvh,
         emissive_tris=inv[np.asarray(scene.emissive_tris)].astype(np.int32))
     return new_scene, perm
 
@@ -325,7 +373,7 @@ def prepare_light_table(scene: Scene, n_pad: int = 128):
     if n < NP:
         for col in (_P_LID, _P_RID, _P_TRI, _P_PAR):
             L = L.at[n:, col].set(-1.0)
-    return L.T, lt.max_depth
+    return append_residual_rows(L, _P_EXACT, _P_ROWS_TOT).T, lt.max_depth
 
 
 # in-kernel texture level for primary-surface fetches; bounce-surface
@@ -929,29 +977,20 @@ def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX,
                         else bank[j * RS:j * RS + 1])
         bank[:] = jnp.concatenate(segs, axis=0)
 
-    def lookup(table_ref, n_entries, idx, rows, exact: bool = False):
-        """``exact=True`` fetches at Precision.HIGHEST — required whenever
-        the fetched values feed GEOMETRY (light positions for shadow-ray
-        identity checks): the MXU's default f32 matmul rounds operands
-        toward bf16, and bf16-quantized light positions made the room
-        scene's shadow rays miss (lights sit 1e-4 below the ceiling,
-        bf16 error ~8e-3 at that scale -> black image).  Colors, normals
-        and importance weights tolerate the default precision (the same
-        fetch style is used consistently on both sides of every
-        probability ratio)."""
+    def lookup(table_ref, n_entries, idx, rows, lo_map=None):
+        """Fetch at DEFAULT precision (one MXU pass).  The MXU rounds f32
+        operands to bf16; id- and geometry-valued rows therefore carry a
+        residual row (``lo_map``: main row -> residual row, built by
+        ``append_residual_rows``) which this fetch sums back in — the
+        residual rides the SAME one-hot matmul, so exactness is free
+        (output height stays within one 128-wide MXU tile).  Fetched
+        values for mapped rows are f32-exact for ids < 2^16 and ~4e-6
+        relative for geometry; unmapped rows (colors, normals, importance
+        weights) see plain bf16 rounding, which every probability ratio
+        tolerates because both of its sides fetch the same way."""
         rr = idx.shape[0]
         lkin[0:rr, :] = idx
         k_rows = table_ref.shape[0]
-        # ALWAYS exact: single-pass bf16 matmuls mangle every fetched
-        # VALUE-AS-ID >= 256 (light-tree child links, leaf triangle ids —
-        # the room's light ids ~7500 never matched the shadow identity
-        # check -> black) and quantize fetched positions.  Mosaic only
-        # lowers DEFAULT and HIGHEST, so every fetch pays the multi-pass
-        # cost (~2x NEE frame time); round-3 recovery: split id rows into
-        # bf16-exact hi/lo pairs + relative positions, then drop back to
-        # DEFAULT.  The ``exact`` arg is kept for that future split.
-        del exact
-        prec = jax.lax.Precision.HIGHEST
         # bound the scoped one-hot: a monolithic (T, C) one-hot at T=7680
         # is 15.7 MB and overflows the 16 MB scoped-vmem budget alongside
         # the trace intermediates (measured compile OOM)
@@ -964,14 +1003,20 @@ def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX,
         else:
             n_chunks, csz = 1, n_entries
 
+        def piece(at, r):
+            p = at[r:r + 1, :]
+            if lo_map and r in lo_map:
+                lr = lo_map[r]
+                p = p + at[lr:lr + 1, :]
+            return p
+
         def body(g, _):
             idxg = lkin[0:1, :]
             if n_chunks == 1:
                 iota_t = jax.lax.broadcasted_iota(jnp.int32, (csz, C), 0)
                 oh = (iota_t == idxg).astype(jnp.float32)
                 at = jnp.dot(table_ref[:], oh,
-                             preferred_element_type=jnp.float32,
-                             precision=prec)
+                             preferred_element_type=jnp.float32)
             else:
                 def cbody(q, acc):
                     iota_t = jax.lax.broadcasted_iota(
@@ -979,13 +1024,12 @@ def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX,
                     oh = (iota_t == idxg).astype(jnp.float32)
                     return acc + jnp.dot(
                         table_ref[:, pl.ds(q * csz, csz)], oh,
-                        preferred_element_type=jnp.float32,
-                        precision=prec)
+                        preferred_element_type=jnp.float32)
 
                 at = jax.lax.fori_loop(
                     0, n_chunks, cbody,
                     jnp.zeros((k_rows, C), jnp.float32), unroll=False)
-            bank_append([at[r:r + 1, :] for r in rows])
+            bank_append([piece(at, r) for r in rows])
             lkin[:] = jnp.concatenate([lkin[1:], lkin[0:1]], axis=0)
             return 0
 
@@ -1212,8 +1256,8 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                             taabb=taabb_ref, trst=trst, trsti=trsti)
         _rows_lookup = build_rows_lookup(lkin, bank, C, RS, NR_MAX)
 
-        def tri_rows(tri_idx, rows, exact=False):
-            return _rows_lookup(a_ref, T, tri_idx, rows, exact=exact)
+        def tri_rows(tri_idx, rows):
+            return _rows_lookup(a_ref, T, tri_idx, rows, lo_map=_A_LO)
 
         tex = None
         if textured:
@@ -1256,7 +1300,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
             def node_rows(idx, rows):
                 """Packed light-tree node fetch; shares the lkin/bank
                 scratches with tri_rows (calls are sequential)."""
-                return _rows_lookup(l_ref, NL, idx, rows)
+                return _rows_lookup(l_ref, NL, idx, rows, lo_map=_P_LO)
 
             def level_probs(nd, px, py, pz, base=_P_LIMP):
                 """p(go left) from ONE packed node row (both children's
@@ -1432,9 +1476,10 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
             key, lu1 = _next_uniform(key)
             key, lu2 = _next_uniform(key)
             lt_tri, pmf = pick_light(u_pick, hx, hy, hz)
-            # exact fetch: light geometry feeds the shadow-ray identity
-            # check (see build_rows_lookup precision note)
-            lat = tri_rows(lt_tri, _LIGHT_ROWS, exact=True)
+            # light geometry feeds the shadow-ray identity check — the
+            # _LIGHT_ROWS are all in _A_EXACT, so this fetch is f32-exact
+            # (see build_rows_lookup precision note)
+            lat = tri_rows(lt_tri, _LIGHT_ROWS)
             su = jnp.sqrt(lu1)
             b1 = su * (1.0 - lu2)
             b2 = su * lu2
@@ -1594,10 +1639,10 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
         pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
-        pl.BlockSpec((_A_COLS, T), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((_A_ROWS_TOT, T), full, memory_space=pltpu.VMEM),
     ]
     if nee:
-        in_specs.append(pl.BlockSpec((_P_COLS, NL), full,
+        in_specs.append(pl.BlockSpec((_P_ROWS_TOT, NL), full,
                                      memory_space=pltpu.VMEM))
     if textured:
         (khp, hp, wp), (khb, hb, wb) = tex_shapes

@@ -37,6 +37,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fypraytracer_tpu.render.megakernel import (
+    _A_LO,
+    _A_ROWS_TOT,
     _RS,
     TRI_TILE,
     _A_ALBEDO,
@@ -123,7 +125,8 @@ def make_diff_megakernel(width: int, height: int, bounces: int, sky_color,
         trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS)
         rows_lookup = build_rows_lookup(lkin, bank, C, RS)
         surf_lookup = build_surf_lookup(
-            lambda idx, rows: rows_lookup(a_ref, T, idx, rows))
+            lambda idx, rows: rows_lookup(a_ref, T, idx, rows,
+                                          lo_map=_A_LO))
 
         @pl.when(tile == 0)
         def _init():
@@ -242,7 +245,7 @@ def make_diff_megakernel(width: int, height: int, bounces: int, sky_color,
                 pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
                 pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((40, T), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((_A_ROWS_TOT, T), full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, C), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],

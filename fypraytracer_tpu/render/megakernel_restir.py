@@ -43,7 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fypraytracer_tpu.core import rng as host_rng
 from fypraytracer_tpu.render.megakernel import (
-    _A_COLS,
+    _A_LO,
+    _A_ROWS_TOT,
     _NR_MAX,
     _RS,
     TRI_TILE,
@@ -54,6 +55,7 @@ from fypraytracer_tpu.render.megakernel import (
     _pcg,
     _pick_ray_lanes,
     _u32,
+    append_residual_rows,
     build_raygen,
     build_rows_lookup,
     build_surf_lookup,
@@ -84,6 +86,14 @@ _PHAT_ROWS = [_E_CENT, _E_CENT + 1, _E_CENT + 2, _E_N, _E_N + 1, _E_N + 2,
 _SHADE_ROWS = [_E_P0, _E_P0 + 1, _E_P0 + 2, _E_E1, _E_E1 + 1, _E_E1 + 2,
                _E_E2, _E_E2 + 1, _E_E2 + 2, _E_N, _E_N + 1, _E_N + 2,
                _E_AREA, _E_EMIT, _E_EMIT + 1, _E_EMIT + 2, _E_TRI]
+
+# bf16-exact residual rows (megakernel.append_residual_rows): light
+# geometry feeds the shadow-ray identity check and _E_TRI is a global
+# triangle id (>= 256 on real scenes — mangled by the MXU's bf16 operand
+# rounding without the residual; see megakernel.py precision note)
+_E_EXACT = list(range(_E_P0, _E_E2 + 3)) + [_E_AREA, _E_TRI]
+_E_LO = {r: _E_ROWS + i for i, r in enumerate(_E_EXACT)}
+_E_ROWS_TOT = _E_ROWS + len(_E_EXACT) + (-(_E_ROWS + len(_E_EXACT))) % 8
 
 # stage buffer (K1 -> K2) rows; HBM layout (G * _S_ROWS, C) tile blocks
 _S_POS = 0     # 0:3
@@ -142,7 +152,7 @@ def prepare_emissive_table(scene: Scene, e_pad: int = 128):
     E = E.at[:e, _E_CENT:_E_CENT + 3].set((p0 + p1 + p2) / 3.0)
     E = E.at[:e, _E_TRI].set(em_tris.astype(jnp.float32))
     E = E.at[e:, _E_TRI].set(-1.0)
-    return E.T, int(e)
+    return append_residual_rows(E, _E_EXACT, _E_ROWS_TOT).T, int(e)
 
 
 def _res_update(res, cand, weight, count, pdf, u, active):
@@ -237,7 +247,8 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
                        txp=txp_ref, txb=txp_ref,
                        shapes=(tex_shapes, tex_shapes))
         surf_lookup = build_surf_lookup(
-            lambda idx, rows: rows_lookup(a_ref, T, idx, rows), tex=tex)
+            lambda idx, rows: rows_lookup(a_ref, T, idx, rows,
+                                          lo_map=_A_LO), tex=tex)
 
         t0, hit0, u0, v0, tri0 = trace(ox, oy, oz, dx, dy, dz)
         surf = surf_lookup(tri0, u0, v0)
@@ -258,7 +269,7 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
         key = _fold(key, _u32(7001))
 
         def em_lookup(cand, rows=_PHAT_ROWS):
-            return rows_lookup(e_ref, e_pad, cand, rows)
+            return rows_lookup(e_ref, e_pad, cand, rows, lo_map=_E_LO)
 
         def cand_p_hat(cand):
             return p_hat(em_lookup(cand), px_, py_, pz_, nx, ny, nz,
@@ -423,7 +434,7 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
         key = _fold(key, _u32(7002))
 
         def em_lookup(cand, rows=_PHAT_ROWS):
-            return rows_lookup(e_ref, e_pad, cand, rows)
+            return rows_lookup(e_ref, e_pad, cand, rows, lo_map=_E_LO)
 
         def nb_p_hat(cand):
             return p_hat(em_lookup(cand), pxp, pyp, pzp, nx, ny, nz,
@@ -490,9 +501,10 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
         # final shade (Renderer.cu:1957-2031)
         key, up1 = _next_uniform(key)
         key, up2 = _next_uniform(key)
-        # exact fetch: emitter geometry feeds the shadow-ray identity check
+        # emitter geometry feeds the shadow-ray identity check — every
+        # _SHADE_ROWS geometry/id row is in _E_EXACT, so the fetch is exact
         em = rows_lookup(e_ref, e_pad, res[0].astype(jnp.int32),
-                         _SHADE_ROWS, exact=True)
+                         _SHADE_ROWS, lo_map=_E_LO)
         su = jnp.sqrt(up1)
         b1_ = su * (1.0 - up2)
         b2_ = su * up2
@@ -558,8 +570,8 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
             pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_A_COLS, T), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_E_ROWS, e_pad), full,
+            pl.BlockSpec((_A_ROWS_TOT, T), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_E_ROWS_TOT, e_pad), full,
                          memory_space=pltpu.VMEM),
         ]
         args = [cam, frame_arr, ppv, P, AT, EM]
@@ -606,7 +618,7 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
             pl.BlockSpec((max(N_NBR, 1), 2), full,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_E_ROWS, e_pad), full,
+            pl.BlockSpec((_E_ROWS_TOT, e_pad), full,
                          memory_space=pltpu.VMEM),
         ]
         args = [cam, frame_arr, offs, P, EM]

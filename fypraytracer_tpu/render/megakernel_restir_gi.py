@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fypraytracer_tpu.core import rng as host_rng
 from fypraytracer_tpu.render.megakernel import (
-    _A_COLS,
+    _A_LO,
+    _A_ROWS_TOT,
     _NR_MAX,
     _RS,
     TRI_TILE,
@@ -189,7 +190,8 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
             tex = dict(fetch=build_tex_lookup(txin, txbank, C, RS),
                        txp=txp_ref, txb=txb_ref, shapes=tex_shapes)
         surf_lookup = build_surf_lookup(
-            lambda idx, rows: rows_lookup(a_ref, T, idx, rows), tex=tex)
+            lambda idx, rows: rows_lookup(a_ref, T, idx, rows,
+                                          lo_map=_A_LO), tex=tex)
 
         t0, hit0, u0, v0, tri0 = trace(ox, oy, oz, dx, dy, dz)
         surf0 = surf_lookup(tri0, u0, v0)
@@ -703,7 +705,7 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
             pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_A_COLS, T), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_A_ROWS_TOT, T), full, memory_space=pltpu.VMEM),
         ]
         args = [cam, frame_arr, ppv, P, AT]
         k1_scratches = list(scratches)
@@ -915,7 +917,8 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
             tex = dict(fetch=build_tex_lookup(txin, txbank, C, RS),
                        txp=txp_ref, txb=txb_ref, shapes=tex_shapes)
         surf_lookup = build_surf_lookup(
-            lambda idx, rows: rows_lookup(a_ref, T, idx, rows), tex=tex)
+            lambda idx, rows: rows_lookup(a_ref, T, idx, rows,
+                                          lo_map=_A_LO), tex=tex)
 
         # ---- primary + initial path sample (as K1) ----------------------
         t0, hit0, u0, v0, tri0 = trace(ox, oy, oz, dx, dy, dz)
@@ -1268,7 +1271,7 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
             pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((max(N_NBR, 1), 2), full, memory_space=pltpu.SMEM),
             pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_A_COLS, T), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_A_ROWS_TOT, T), full, memory_space=pltpu.VMEM),
         ]
         args = [cam, frame_arr, ppv, offs, P, AT]
         scr = [
