@@ -34,7 +34,10 @@ def main():
                                   temporal_reuse=temporal,
                                   spatial_neighbors=nbrs,
                                   sky_color=(0.05, 0.06, 0.08))
-        mk = MegakernelReSTIRGI(scene, cam, settings)
+        mk = MegakernelReSTIRGI(
+            scene, cam, settings,
+            probe_split_vis=os.environ.get("FYP_GI_SPLIT_VIS", "0") == "1",
+            probe_fake_vis=os.environ.get("FYP_GI_FAKE_VIS", "0") == "1")
     else:
         settings = RenderSettings(technique=SamplingTechnique.RESTIR_DI,
                                   sky_color=(0.05, 0.06, 0.08))

@@ -79,7 +79,7 @@ def _render_run(scene, cam, settings, frames=None, seconds=None, impl="auto",
     tech = int(settings.technique)
     use_mk = impl == "megakernel" or (
         impl == "auto" and frames is not None and frames >= 16
-        and tech in (0, 1, 2, 3, 4, 6, 7, 8)
+        and tech in (0, 1, 2, 3, 4, 5, 6, 7, 8)
         and (cam.width * cam.height) % 128 == 0)
     if use_mk:
         try:

@@ -1217,6 +1217,8 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
     T = n_tris + ((-n_tris) % TT)
     sky = tuple(float(c) for c in sky_color)
     nee = sampler == "nee"
+    light = sampler == "light"
+    use_lt = nee or light           # techniques that read the light tree
     textured = tex_shapes is not None
     n_tri_tiles = T // TT
     if cull is None:
@@ -1235,7 +1237,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         frame_ref = refs.pop(0)
         p_ref = refs.pop(0)
         a_ref = refs.pop(0)
-        l_ref = refs.pop(0) if nee else None
+        l_ref = refs.pop(0) if use_lt else None
         txp_ref = refs.pop(0) if textured else None
         txb_ref = refs.pop(0) if textured else None
         taabb_ref = refs.pop(0) if cull else None
@@ -1294,8 +1296,8 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                     surf["alb"], rough, surf["metal"])
             return key, lx, ly, lz, pdf
 
-        # ---- light tree (NEE only) ----------------------------------------
-        if nee:
+        # ---- light tree (NEE + light-source sampling) ----------------------
+        if use_lt:
 
             def node_rows(idx, rows):
                 """Packed light-tree node fetch; shares the lkin/bank
@@ -1618,7 +1620,78 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
             return tuple(acc[c] + jnp.sum(rad[c], axis=0, keepdims=True)
                          * inv_s for c in range(3))
 
-        group_fn = nee_group if nee else hemisphere_group
+        def light_group(fi, acc):
+            """radiance_light_source parity (render/integrators.py:246-304;
+            PerPixel_LightSourceSampling, Renderer.cu:1287-1408): one-bounce
+            direct light only — emitter via light-tree descent, uniform
+            point on the triangle, area pdf with both geometry cosines,
+            visibility by shadow-trace identity check.  Shadow rays that
+            escape to the sky contribute ``contrib * sky``
+            (Renderer.cu:1388-1392 quirk, kept)."""
+            frames = (frame_base + fi * R + sub).astype(jnp.uint32)
+            keyb = _fold(pix_key, frames)
+            zR = jnp.zeros((R, C), jnp.float32)
+            nx, ny, nz = zR + prim["nx"], zR + prim["ny"], zR + prim["nz"]
+            alb = tuple(zR + prim["alb"][c] for c in range(3))
+            rough, metal = zR + prim["rough"], zR + prim["metal"]
+            hx, hy, hz = zR + hx0, zR + hy0, zR + hz0
+            vx, vy, vz = zR - dx0, zR - dy0, zR - dz0
+            active = jnp.zeros((R, C), jnp.bool_) | path_lane
+
+            def sample_body(s, rad):
+                key = _fold(keyb, s.astype(jnp.uint32))
+                key = _fold(key, _u32(0))
+                key, u_pick = _next_uniform(key)
+                key, lu1 = _next_uniform(key)
+                key, lu2 = _next_uniform(key)
+                lt_tri, pmf = pick_light(u_pick, hx, hy, hz)
+                lat = tri_rows(lt_tri, _LIGHT_ROWS)   # f32-exact (_A_EXACT)
+                su = jnp.sqrt(lu1)
+                b1 = su * (1.0 - lu2)
+                b2 = su * lu2
+                ptx = lat[_A_P0] + lat[_A_E1] * b1 + lat[_A_E2] * b2
+                pty = lat[_A_P0 + 1] + lat[_A_E1 + 1] * b1 \
+                    + lat[_A_E2 + 1] * b2
+                ptz = lat[_A_P0 + 2] + lat[_A_E1 + 2] * b1 \
+                    + lat[_A_E2 + 2] * b2
+                lnx, lny, lnz = _norm3(lat[_A_NS], lat[_A_NS + 1],
+                                       lat[_A_NS + 2])
+                tlx, tly, tlz = ptx - hx, pty - hy, ptz - hz
+                dist = jnp.sqrt(jnp.maximum(
+                    tlx * tlx + tly * tly + tlz * tlz, 1e-20))
+                ldx, ldy, ldz = tlx / dist, tly / dist, tlz / dist
+
+                _, sh_hit, _, _, sh_tri = trace(
+                    hx + nx * 1e-12, hy + ny * 1e-12, hz + nz * 1e-12,
+                    ldx, ldy, ldz)
+                visible = (sh_tri == lt_tri) & (lt_tri >= 0)
+
+                fd = _cook_torrance(nx, ny, nz, vx, vy, vz, ldx, ldy, ldz,
+                                    alb, rough, metal)
+                cos_x = jnp.maximum(ldx * nx + ldy * ny + ldz * nz, 0.0)
+                cos_y = jnp.maximum(-(ldx * lnx + ldy * lny + ldz * lnz),
+                                    0.0)
+                pdf = pmf * (1.0 / jnp.maximum(lat[_A_AREA], 1e-20)) \
+                    * dist * dist
+                gscale = cos_x * cos_y / jnp.maximum(pdf, 1e-20)
+                lane_ok = active & visible & (pmf > 0.0)
+                sky_lane = active & ~sh_hit
+                return tuple(
+                    rad[c]
+                    + jnp.where(lane_ok,
+                                gscale * fd[c] * lat[_A_EMISSION + c], 0.0)
+                    + jnp.where(sky_lane, gscale * fd[c] * sky[c], 0.0)
+                    for c in range(3))
+
+            rad0 = tuple(jnp.zeros((R, C), jnp.float32) for _ in range(3))
+            rad = jax.lax.fori_loop(0, samples, sample_body, rad0,
+                                    unroll=False)
+            inv_s = 1.0 / float(samples)
+            return tuple(acc[c] + jnp.sum(rad[c], axis=0, keepdims=True)
+                         * inv_s for c in range(3))
+
+        group_fn = nee_group if nee else (
+            light_group if light else hemisphere_group)
 
         acc0 = (jnp.zeros((1, C), jnp.float32),) * 3
         accs = jax.lax.fori_loop(0, n_frames // R, group_fn, acc0)
@@ -1641,7 +1714,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
         pl.BlockSpec((_A_ROWS_TOT, T), full, memory_space=pltpu.VMEM),
     ]
-    if nee:
+    if use_lt:
         in_specs.append(pl.BlockSpec((_P_ROWS_TOT, NL), full,
                                      memory_space=pltpu.VMEM))
     if textured:
@@ -1676,7 +1749,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
     def render(cam_mats, P, AT, frame0, L=None, TXP=None, TXB=None,
                TAABB=None):
         args = [cam_mats, frame0, P, AT]
-        if nee:
+        if use_lt:
             Lp = L
             if Lp.shape[1] < NL:
                 Lp = jnp.pad(Lp, ((0, 0), (0, NL - Lp.shape[1])))
@@ -1742,7 +1815,7 @@ class MegakernelRenderer:
     """
 
     SAMPLER_OF = {0: "uniform", 1: "uniform", 2: "cosine", 3: "ggx",
-                  4: "brdf", 6: "nee"}
+                  4: "brdf", 5: "light", 6: "nee"}
 
     def __init__(self, scene: Scene, camera, settings, interpret: bool = False):
         self.scene = scene

@@ -130,7 +130,8 @@ def _rad_norm(rad):
 def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
                               n_frames: int, tex_shapes=None,
                               cull: bool = False,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              probe_split_vis: bool = False):
     """Build ``render(cam, P, AT, frame0, state[, TXP, TXB][, TAABB]) ->
     (summed hdr (B, 3), new_state)``.
 
@@ -435,7 +436,9 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
     _NB_SN = 14    # 14:17
     _NB_RAD = 17   # 17:20
     _NB_ROWS = 20
-    _NBP = 8       # neighbors padded to a sublane tile
+    # neighbors padded up to a sublane-tile multiple (>= N_NBR, so large
+    # settings.spatial_neighbors doesn't underflow the pad row count)
+    _NBP = max(8, -(-N_NBR // 8) * 8)
 
     def k2a(offs_ref, own_ref, stage_full_ref, nbuf_ref, win0, win1,
             dma_sem):
@@ -600,8 +603,9 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
             def nbrow(nidx, r):
                 return nb_win[r * _NBP + nidx:r * _NBP + nidx + 1, :]
 
-            import os
-            split_vis = bool(int(os.environ.get("FYP_GI_SPLIT_VIS", "0")))
+            # perf-probe A/B (benchmarks/probe_restir.py passes this
+            # explicitly; never read from the environment at trace time)
+            split_vis = probe_split_vis
 
             z = jnp.where(shade, res["m"], 0.0)
             vis_rows = None
@@ -845,7 +849,8 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
 
 def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
                         n_frames: int, tex_shapes=None, cull: bool = False,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        probe_fake_vis: bool = False):
     """MONO ReSTIR GI: the whole frame in ONE heavy kernel.
 
     Estimator deviation vs the 3-kernel pipeline (documented): spatial
@@ -1193,8 +1198,7 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
                 p_n = jnp.where(jac > 0.0,
                                 _rad_norm(radn) / jnp.maximum(jac, 1e-12),
                                 0.0)
-                import os as _os
-                if int(_os.environ.get("FYP_GI_FAKE_VIS", "0")):
+                if probe_fake_vis:
                     # PERF PROBE ONLY (wrong image): trace synthetic
                     # register-derived rays of the same count — isolates
                     # whether DMA-derived trace inputs are the cost
@@ -1361,8 +1365,17 @@ class MegakernelReSTIRGI:
     """Offline static-camera ReSTIR GI fast path."""
 
     def __init__(self, scene: Scene, camera, settings, interpret: bool = False,
-                 mono: bool | None = None):
+                 mono: bool | None = None, probe_split_vis: bool = False,
+                 probe_fake_vis: bool = False):
         import os
+
+        # perf probes (benchmarks/probe_restir.py) — fake_vis bakes a WRONG
+        # visibility term; make it impossible to miss in any output
+        self.probe_split_vis = probe_split_vis
+        self.probe_fake_vis = probe_fake_vis
+        if probe_fake_vis:
+            print("WARNING: probe_fake_vis=True — image is a PERF PROBE, "
+                  "visibility term is synthetic/WRONG", flush=True)
 
         mscene, _ = morton_permuted_scene(scene)
         self.taabb = prepare_tile_aabbs(mscene, TRI_TILE)
@@ -1389,13 +1402,17 @@ class MegakernelReSTIRGI:
 
     def _renderer(self, n_frames):
         if n_frames not in self._cache:
-            make = make_restir_gi_mono if self.mono \
-                else make_restir_gi_megakernel
+            if self.mono:
+                make = make_restir_gi_mono
+                probes = dict(probe_fake_vis=self.probe_fake_vis)
+            else:
+                make = make_restir_gi_megakernel
+                probes = dict(probe_split_vis=self.probe_split_vis)
             self._cache[n_frames] = make(
                 self.camera.width, self.camera.height, self.settings,
                 self.scene.geometry.tri_v.shape[0], n_frames,
                 tex_shapes=self.tex_shapes, cull=True,
-                interpret=self.interpret)
+                interpret=self.interpret, **probes)
         return self._cache[n_frames]
 
     def render_many(self, n_frames):

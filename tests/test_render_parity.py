@@ -136,6 +136,30 @@ def test_megakernel_matches_wavefront_nee():
     assert abs(got.mean() - np.asarray(ref).mean()) / np.asarray(ref).mean() < 0.01
 
 
+def test_megakernel_matches_wavefront_light():
+    """Light-source-sampling megakernel (one-bounce direct, light-tree
+    pick, sky-through-shadow quirk) vs wavefront at matched seeds
+    (PerPixel_LightSourceSampling, Renderer.cu:1287-1408)."""
+    from fypraytracer_tpu.render.megakernel import MegakernelRenderer
+    from fypraytracer_tpu.render.renderer import Renderer
+    from fypraytracer_tpu.scene.procedural import cornell_box
+
+    builder, cam = cornell_box(width=32, height=32, sphere_res=(6, 10))
+    scene = builder.compile()
+    settings = RenderSettings(technique=SamplingTechnique.LIGHT_SOURCE,
+                              bounces=2, samples=2,
+                              sky_color=(0.05, 0.06, 0.08))
+    r = Renderer(scene, cam, settings)
+    for _ in range(3):
+        ref = r.render_hdr()
+    mk = MegakernelRenderer(scene, cam, settings, interpret=True)
+    got = np.asarray(mk.render_many(3))
+    diff = np.abs(got - np.asarray(ref))
+    assert float(np.median(diff)) < 1e-5
+    assert (diff.max(axis=-1) > 1e-3).mean() < 0.01
+    assert abs(got.mean() - np.asarray(ref).mean()) / np.asarray(ref).mean() < 0.01
+
+
 @pytest.mark.parametrize("technique", [SamplingTechnique.GGX,
                                        SamplingTechnique.BRDF,
                                        SamplingTechnique.UNIFORM])
