@@ -100,6 +100,8 @@ def report(dt: float, impl: str) -> None:
     for f in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json"))):
         try:
             rec = json.load(open(f))
+            # the driver wraps bench output under "parsed"
+            rec = rec.get("parsed", rec)
             if rec.get("metric") == "rays_per_second":
                 prev = max(prev, float(rec.get("value", 0.0)))
         except Exception:

@@ -23,8 +23,10 @@ def main():
                                                     prepare_light_table)
     from fypraytracer_tpu.scene.sceneio import builtin_scene
 
+    res = os.environ.get("PROBE_RES", "256x256")  # WxH
+    W, H = (int(v) for v in res.split("x"))
     builder, cam = builtin_scene(os.environ.get("PROBE_SCENE", "cornell"),
-                                 256, 256)
+                                 W, H)
     # PROBE_DUP=k duplicates every mesh k-1 extra times: same geometry
     # density / shading work / light tree as the base scene but k x the
     # table sizes + tile count — isolates "per-iteration cost grows with
@@ -54,7 +56,7 @@ def main():
     AT = A.T
     L, depth = prepare_light_table(dscene)
     depth = int(os.environ.get("PROBE_DEPTH", str(depth)))
-    render = make_megakernel(256, 256, bounces=bounces, samples=1,
+    render = make_megakernel(W, H, bounces=bounces, samples=1,
                              sky_color=(0.05, 0.06, 0.08), n_frames=frames,
                              n_tris=scene.geometry.tri_v.shape[0],
                              sampler=sampler, n_light_nodes=L.shape[1],

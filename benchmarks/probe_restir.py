@@ -34,10 +34,14 @@ def main():
                                   temporal_reuse=temporal,
                                   spatial_neighbors=nbrs,
                                   sky_color=(0.05, 0.06, 0.08))
+        cull_env = os.environ.get("PROBE_CULL")  # unset -> auto
         mk = MegakernelReSTIRGI(
             scene, cam, settings,
+            cull=None if cull_env is None else cull_env == "1",
             probe_split_vis=os.environ.get("FYP_GI_SPLIT_VIS", "0") == "1",
-            probe_fake_vis=os.environ.get("FYP_GI_FAKE_VIS", "0") == "1")
+            probe_fake_vis=os.environ.get("FYP_GI_FAKE_VIS", "0") == "1",
+            probe_no_vis=os.environ.get("FYP_GI_NO_VIS", "0") == "1")
+        print(f"gi cull={mk.cull} mono={mk.mono}", flush=True)
     else:
         settings = RenderSettings(technique=SamplingTechnique.RESTIR_DI,
                                   sky_color=(0.05, 0.06, 0.08))

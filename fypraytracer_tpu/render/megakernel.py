@@ -854,7 +854,13 @@ def build_shadow_trace(p_ref, rayin, distst, occst, occout, C, TT, T,
     tiles are skipped when beyond the segment, off the ray, or once every
     lane is already occluded (per-lane early-out).
     Scratches: distst (RS, C) f32, occst (8, C) f32 (rows: blocked,
-    reached), occout (RS, C) f32 rotating results."""
+    reached; culled variant only), occout (RS, C) f32 rotating results.
+
+    PERF.md #18b: the (blocked, reached) state rides ``fori_loop``
+    CARRIES in the uncull variant — memory-carried loop state (scratch
+    stores/loads per tile iteration) is what made the GI visibility
+    traces cost ~1.9 us/tile-iteration vs ~0.1-0.3 us for the
+    register-carried closest-hit loops in the very same kernels."""
     n_tri_tiles = T // TT
     culled = taabb is not None
 
@@ -867,7 +873,8 @@ def build_shadow_trace(p_ref, rayin, distst, occst, occout, C, TT, T,
             rayin[ci * RS:ci * RS + rr, :] = val
         distst[0:rr, :] = dist
 
-        def body(i, _):
+        def body(i, carry):
+            blk_c, rch_c = carry
             k = i % n_tri_tiles
             fresh = k == 0
             rox = rayin[0 * RS:0 * RS + 1, :]
@@ -880,10 +887,8 @@ def build_shadow_trace(p_ref, rayin, distst, occst, occout, C, TT, T,
             tol = jnp.maximum(1e-4, dr * 1e-3)
             lim_lo = dr - tol
             lim_hi = dr + tol
-
-            @pl.when(fresh)
-            def _reset():
-                occst[0:2, :] = jnp.zeros((2, C), jnp.float32)
+            blk_c = jnp.where(fresh, 0.0, blk_c)
+            rch_c = jnp.where(fresh, 0.0, rch_c)
 
             def tile_scan():
                 pt = p_ref[pl.ds(k * TT, TT), :]
@@ -907,11 +912,16 @@ def build_shadow_trace(p_ref, rayin, distst, occst, occout, C, TT, T,
                               axis=0, keepdims=True)
                 rch = jnp.max(jnp.where(hit & (t >= lim_lo) & (t <= lim_hi),
                                         1.0, 0.0), axis=0, keepdims=True)
-                occst[0:2, :] = jnp.concatenate(
-                    [jnp.maximum(occst[0:1, :], blk),
-                     jnp.maximum(occst[1:2, :], rch)], axis=0)
+                return blk, rch
 
             if culled:
+                # tile skip needs a scalar branch, so this variant keeps
+                # the (blocked, reached) state in the occst scratch — the
+                # pl.when region cannot feed loop carries
+                @pl.when(fresh)
+                def _reset():
+                    occst[0:2, :] = jnp.concatenate([blk_c, rch_c], axis=0)
+
                 blocked = occst[0:1, :]
                 ix = _safe_inv(rdx)
                 iy = _safe_inv(rdy)
@@ -931,23 +941,35 @@ def build_shadow_trace(p_ref, rayin, distst, occst, occout, C, TT, T,
                 poss = (tf >= tn) & (tn <= lim_hi) & (blocked < 0.5)
                 anyp = (jnp.max(poss.astype(jnp.float32)) > 0.0) \
                     & (taabb[k, 6] > 0.0)
-                pl.when(anyp)(tile_scan)
+
+                @pl.when(anyp)
+                def _scan():
+                    blk, rch = tile_scan()
+                    occst[0:2, :] = jnp.concatenate(
+                        [jnp.maximum(occst[0:1, :], blk),
+                         jnp.maximum(occst[1:2, :], rch)], axis=0)
+
+                blk_n = occst[0:1, :]
+                rch_n = occst[1:2, :]
             else:
-                tile_scan()
+                blk, rch = tile_scan()
+                blk_n = jnp.maximum(blk_c, blk)
+                rch_n = jnp.maximum(rch_c, rch)
 
             @pl.when(k == n_tri_tiles - 1)
             def _append():
-                vis = jnp.where((occst[0:1, :] < 0.5)
-                                & (occst[1:2, :] > 0.5), 1.0, 0.0)
+                vis = jnp.where((blk_n < 0.5) & (rch_n > 0.5), 1.0, 0.0)
                 occout[:] = jnp.concatenate([occout[1:RS], vis], axis=0)
                 rayin[:] = jnp.concatenate(
                     [_rot_block(rayin[ci * RS:(ci + 1) * RS])
                      for ci in range(6)], axis=0)
                 distst[:] = _rot_block(distst[:])
 
-            return 0
+            return blk_n, rch_n
 
-        jax.lax.fori_loop(0, rr * n_tri_tiles, body, 0, unroll=False)
+        z1 = jnp.zeros((1, C), jnp.float32)
+        jax.lax.fori_loop(0, rr * n_tri_tiles, body, (z1, z1),
+                          unroll=False)
         return occout[RS - rr:RS, :] > 0.5
 
     return visible

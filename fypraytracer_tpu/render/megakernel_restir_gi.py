@@ -850,7 +850,8 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
 def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
                         n_frames: int, tex_shapes=None, cull: bool = False,
                         interpret: bool = False,
-                        probe_fake_vis: bool = False):
+                        probe_fake_vis: bool = False,
+                        probe_no_vis: bool = False):
     """MONO ReSTIR GI: the whole frame in ONE heavy kernel.
 
     Estimator deviation vs the 3-kernel pipeline (documented): spatial
@@ -1198,7 +1199,13 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
                 p_n = jnp.where(jac > 0.0,
                                 _rad_norm(radn) / jnp.maximum(jac, 1e-12),
                                 0.0)
-                if probe_fake_vis:
+                if probe_no_vis:
+                    # PERF PROBE ONLY (wrong image): skip the visibility
+                    # trace entirely, keep the DMAs/rolls/merges — splits
+                    # "trace arithmetic" from "neighbor-read machinery"
+                    # (PERF.md #18b decomposition)
+                    vis = dist_r > 0.0
+                elif probe_fake_vis:
                     # PERF PROBE ONLY (wrong image): trace synthetic
                     # register-derived rays of the same count — isolates
                     # whether DMA-derived trace inputs are the cost
@@ -1365,19 +1372,30 @@ class MegakernelReSTIRGI:
     """Offline static-camera ReSTIR GI fast path."""
 
     def __init__(self, scene: Scene, camera, settings, interpret: bool = False,
-                 mono: bool | None = None, probe_split_vis: bool = False,
-                 probe_fake_vis: bool = False):
+                 mono: bool | None = None, cull: bool | None = None,
+                 probe_split_vis: bool = False,
+                 probe_fake_vis: bool = False,
+                 probe_no_vis: bool = False):
         import os
 
         # perf probes (benchmarks/probe_restir.py) — fake_vis bakes a WRONG
         # visibility term; make it impossible to miss in any output
         self.probe_split_vis = probe_split_vis
         self.probe_fake_vis = probe_fake_vis
-        if probe_fake_vis:
-            print("WARNING: probe_fake_vis=True — image is a PERF PROBE, "
+        self.probe_no_vis = probe_no_vis
+        if probe_fake_vis or probe_no_vis:
+            print("WARNING: probe_fake_vis/no_vis — image is a PERF PROBE, "
                   "visibility term is synthetic/WRONG", flush=True)
 
         mscene, _ = morton_permuted_scene(scene)
+        n_tris = mscene.geometry.tri_v.shape[0]
+        n_tiles = (n_tris + TRI_TILE - 1) // TRI_TILE
+        # cull default mirrors make_megakernel: the culled trace variant
+        # carries hit state through VMEM scratch (pl.when-skippable tile
+        # bodies force memory-carried loops in the Mosaic lowering, see
+        # PERF.md #18b) — only worth it once the scene has enough tiles
+        # for skips to pay for the serialization.
+        self.cull = (n_tiles >= 8) if cull is None else cull
         self.taabb = prepare_tile_aabbs(mscene, TRI_TILE)
         self.scene = jax.tree_util.tree_map(jnp.asarray, mscene)
         self.camera = camera
@@ -1404,14 +1422,15 @@ class MegakernelReSTIRGI:
         if n_frames not in self._cache:
             if self.mono:
                 make = make_restir_gi_mono
-                probes = dict(probe_fake_vis=self.probe_fake_vis)
+                probes = dict(probe_fake_vis=self.probe_fake_vis,
+                              probe_no_vis=self.probe_no_vis)
             else:
                 make = make_restir_gi_megakernel
                 probes = dict(probe_split_vis=self.probe_split_vis)
             self._cache[n_frames] = make(
                 self.camera.width, self.camera.height, self.settings,
                 self.scene.geometry.tri_v.shape[0], n_frames,
-                tex_shapes=self.tex_shapes, cull=True,
+                tex_shapes=self.tex_shapes, cull=self.cull,
                 interpret=self.interpret, **probes)
         return self._cache[n_frames]
 
