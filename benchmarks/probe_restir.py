@@ -40,7 +40,9 @@ def main():
             cull=None if cull_env is None else cull_env == "1",
             probe_split_vis=os.environ.get("FYP_GI_SPLIT_VIS", "0") == "1",
             probe_fake_vis=os.environ.get("FYP_GI_FAKE_VIS", "0") == "1",
-            probe_no_vis=os.environ.get("FYP_GI_NO_VIS", "0") == "1")
+            probe_no_vis=os.environ.get("FYP_GI_NO_VIS", "0") == "1",
+            probe_closest_vis=os.environ.get("FYP_GI_CLOSEST_VIS",
+                                             "0") == "1")
         print(f"gi cull={mk.cull} mono={mk.mono}", flush=True)
     else:
         settings = RenderSettings(technique=SamplingTechnique.RESTIR_DI,
@@ -60,6 +62,18 @@ def main():
     dt = time.perf_counter() - t0 - 0.4
     print(f"steady: {dt*1000:.1f} ms total, {dt*1000/frames:.2f} ms/frame",
           flush=True)
+    # fence-noise-free marginal: difference 1-call vs 3-call steady walls
+    # (same compiled kernel; the fixed tunnel overhead cancels)
+    walls = []
+    for ncall in (1, 3):
+        t0 = time.perf_counter()
+        for _ in range(ncall):
+            out = mk.render_many(frames)
+        float(jax.jit(lambda x: x.ravel()[0])(out))
+        walls.append(time.perf_counter() - t0)
+    marg = (walls[1] - walls[0]) / (2 * frames)
+    print(f"marginal: {marg*1000:.3f} ms/frame "
+          f"(walls {walls[0]:.3f}s, {walls[1]:.3f}s x3)", flush=True)
     print("mean:", float(jnp.mean(out)), flush=True)
 
 

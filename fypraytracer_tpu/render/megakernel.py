@@ -975,6 +975,202 @@ def build_shadow_trace(p_ref, rayin, distst, occst, occout, C, TT, T,
     return visible
 
 
+def prepare_tile_boxes_lanes(scene: Scene, tri_tile: int = TRI_TILE,
+                             lane_pad: int = 128):
+    """Tile AABBs in lane-major layout for the SPARSE trace: (8, NT) f32
+    with rows [lo.x lo.y lo.z hi.x hi.y hi.z valid pad], NT = n_tiles
+    padded to a lane-tile multiple.  Same data as prepare_tile_aabbs,
+    laid out so the per-tile bundle slab test is a handful of (1, NT)
+    vector ops instead of n_tiles scalar iterations."""
+    aabb = np.asarray(prepare_tile_aabbs(scene, tri_tile))  # (n_tiles, 8)
+    n_tiles = aabb.shape[0]
+    NT = max(((n_tiles + lane_pad - 1) // lane_pad) * lane_pad, lane_pad)
+    out = np.zeros((8, NT), np.float32)
+    out[:, :n_tiles] = aabb.T
+    return jnp.asarray(out)
+
+
+def build_trace_sparse(p_ref, tbox_ref, rayin, trout, trouti, candst,
+                       C, TT, T, RS=_RS):
+    """Closest-hit trace that visits ONLY the triangle tiles whose AABB
+    a conservative ray-bundle interval can reach — the TPU-idiomatic
+    stand-in for the reference's hierarchical TLAS/BLAS descent
+    (Renderer.cu:460-561).  Per ray row:
+
+      1. bundle interval: lane min/max of origins and directions (NaN
+         lanes sanitized); axes whose direction interval spans 0 pass
+         conservatively;
+      2. vectorized slab test of the interval against ALL tile boxes at
+         once ((1, NT) lane-major ops over ``tbox_ref``);
+      3. stream compaction of the hit mask into a candidate tile list
+         (log-shift prefix sum + one-hot row reduce, no MXU);
+      4. the usual Baldwin-Weber tile sweep as a fori_loop with a
+         DYNAMIC trip count = candidate count — skipped tiles cost
+         nothing at all (vs ~0.1-0.3 us/iteration for a @pl.when skip).
+
+    The test is conservative per ROW (512 rays): coherent rows (primary
+    bundles on Morton-ordered pixels, short shadow segments) visit few
+    tiles; fully incoherent rows degrade to the dense sweep plus ~2-4 us
+    of mask/compaction overhead.  Correctness never depends on
+    coherence.  Scratch ``candst`` is (NT, 1) f32 (tile ids as exact
+    floats).  Same rayin/trout/trouti rotation contract as build_trace."""
+    NT = tbox_ref.shape[1]
+    n_tri_tiles = T // TT
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (TT, C), 0)
+    lane_nt = jax.lax.broadcasted_iota(jnp.int32, (1, NT), 1)
+    sub_nt = jax.lax.broadcasted_iota(jnp.int32, (NT, 1), 0)
+
+    def _sane_minmax(v):
+        fin = jnp.isfinite(v)
+        lo = jnp.min(jnp.where(fin, v, _BIG))
+        hi = jnp.max(jnp.where(fin, v, -_BIG))
+        return lo, hi
+
+    def _axis_interval(flo, fhi, o_lo, o_hi, d_lo, d_hi):
+        # conservative [LB, UB] of slab-crossing t over the whole bundle
+        mixed = (d_lo <= 0.0) & (d_hi >= 0.0)
+        da = jnp.where(jnp.abs(d_lo) < 1e-12, 1e-12, d_lo)
+        db = jnp.where(jnp.abs(d_hi) < 1e-12, 1e-12, d_hi)
+        ia = 1.0 / da
+        ib = 1.0 / db
+        i_lo = jnp.minimum(ia, ib)
+        i_hi = jnp.maximum(ia, ib)
+        lbs, ubs = [], []
+        for f in (flo, fhi):
+            u_lo = f - o_hi
+            u_hi = f - o_lo
+            p1 = u_lo * i_lo
+            p2 = u_lo * i_hi
+            p3 = u_hi * i_lo
+            p4 = u_hi * i_hi
+            lbs.append(jnp.minimum(jnp.minimum(p1, p2),
+                                   jnp.minimum(p3, p4)))
+            ubs.append(jnp.maximum(jnp.maximum(p1, p2),
+                                   jnp.maximum(p3, p4)))
+        lb = jnp.minimum(lbs[0], lbs[1])
+        ub = jnp.maximum(ubs[0], ubs[1])
+        lb = jnp.where(mixed, -_BIG, lb)
+        ub = jnp.where(mixed, _BIG, ub)
+        return lb, ub
+
+    def _mask_and_compact(rox, roy, roz, rdx, rdy, rdz, seg_lim=None):
+        """(1, NT) candidate mask -> candst + scalar count."""
+        o_lox, o_hix = _sane_minmax(rox)
+        o_loy, o_hiy = _sane_minmax(roy)
+        o_loz, o_hiz = _sane_minmax(roz)
+        d_lox, d_hix = _sane_minmax(rdx)
+        d_loy, d_hiy = _sane_minmax(rdy)
+        d_loz, d_hiz = _sane_minmax(rdz)
+        lbx, ubx = _axis_interval(tbox_ref[0:1, :], tbox_ref[3:4, :],
+                                  o_lox, o_hix, d_lox, d_hix)
+        lby, uby = _axis_interval(tbox_ref[1:2, :], tbox_ref[4:5, :],
+                                  o_loy, o_hiy, d_loy, d_hiy)
+        lbz, ubz = _axis_interval(tbox_ref[2:3, :], tbox_ref[5:6, :],
+                                  o_loz, o_hiz, d_loz, d_hiz)
+        entry = jnp.maximum(jnp.maximum(lbx, lby), jnp.maximum(lbz, 0.0))
+        exit_ = jnp.minimum(jnp.minimum(ubx, uby), ubz)
+        mask = (exit_ >= entry) & (tbox_ref[6:7, :] > 0.0)
+        if seg_lim is not None:
+            mask = mask & (entry <= seg_lim)
+        maskf = mask.astype(jnp.float32)
+        # exclusive prefix sum along lanes (log-shift adds)
+        inc = maskf
+        sh = 1
+        while sh < NT:
+            inc = inc + jnp.where(lane_nt >= sh,
+                                  pltpu.roll(inc, sh, axis=1), 0.0)
+            sh *= 2
+        slot = inc - maskf                                   # (1, NT)
+        cnt = jnp.sum(maskf)
+        # scatter tile -> slot: one-hot row reduce (exact in f32)
+        sel = (slot == sub_nt.astype(jnp.float32)) & mask    # (NT, NT)
+        cand = jnp.sum(jnp.where(sel,
+                                 lane_nt.astype(jnp.float32), 0.0),
+                       axis=1, keepdims=True)                # (NT, 1)
+        candst[:, :] = cand
+        return cnt.astype(jnp.int32)
+
+    def trace(ox, oy, oz, dx, dy, dz):
+        ox, oy, oz, dx, dy, dz = jnp.broadcast_arrays(ox, oy, oz,
+                                                      dx, dy, dz)
+        rr = ox.shape[0]
+        assert rr <= RS
+        for ci, val in enumerate((ox, oy, oz, dx, dy, dz)):
+            rayin[ci * RS:ci * RS + rr, :] = val
+
+        def row_body(r, _):
+            rox = rayin[0 * RS:0 * RS + 1, :]
+            roy = rayin[1 * RS:1 * RS + 1, :]
+            roz = rayin[2 * RS:2 * RS + 1, :]
+            rdx = rayin[3 * RS:3 * RS + 1, :]
+            rdy = rayin[4 * RS:4 * RS + 1, :]
+            rdz = rayin[5 * RS:5 * RS + 1, :]
+            cnt = _mask_and_compact(rox, roy, roz, rdx, rdy, rdz)
+
+            def tile_step(j, carry):
+                t_c, u_c, v_c, tri_c = carry
+                k = jnp.sum(candst[pl.ds(j, 1), :]).astype(jnp.int32)
+                pt = p_ref[pl.ds(k * TT, TT), :]
+
+                def pc(jj):
+                    return pt[:, jj:jj + 1]
+
+                o_n = pc(0) * rox + pc(1) * roy + pc(2) * roz + pc(3)
+                d_n = pc(0) * rdx + pc(1) * rdy + pc(2) * rdz
+                o_u = pc(4) * rox + pc(5) * roy + pc(6) * roz + pc(7)
+                d_u = pc(4) * rdx + pc(5) * rdy + pc(6) * rdz
+                o_v = pc(8) * rox + pc(9) * roy + pc(10) * roz + pc(11)
+                d_v = pc(8) * rdx + pc(9) * rdy + pc(10) * rdz
+                okp = jnp.abs(d_n) > 1e-12
+                t = -o_n / jnp.where(okp, d_n, 1.0)
+                uu = o_u + t * d_u
+                vv = o_v + t * d_v
+                hit = okp & (uu >= 0.0) & (vv >= 0.0) \
+                    & (uu + vv <= 1.0) & (t > 1e-4)
+                t = jnp.where(hit, t, _BIG)
+                t_min = jnp.min(t, axis=0, keepdims=True)
+                at_min = (t == t_min) & (t_min < _BIG)
+                ridx = jnp.min(jnp.where(at_min, row_iota, 2 ** 30),
+                               axis=0, keepdims=True)
+                first = at_min & (row_iota == ridx)
+                u_k = jnp.sum(jnp.where(first, uu, 0.0), axis=0,
+                              keepdims=True)
+                v_k = jnp.sum(jnp.where(first, vv, 0.0), axis=0,
+                              keepdims=True)
+                # candidates are emitted in ascending tile order, so the
+                # strict < keeps the dense sweep's cross-tile tie-break
+                # (earliest tile wins) bit-identically
+                better = t_min < t_c
+                return (jnp.where(better, t_min, t_c),
+                        jnp.where(better, u_k, u_c),
+                        jnp.where(better, v_k, v_c),
+                        jnp.where(better, ridx + k * TT, tri_c))
+
+            z1 = jnp.zeros((1, C), jnp.float32)
+            t_n, u_n, v_n, tri_n = jax.lax.fori_loop(
+                0, cnt, tile_step,
+                (jnp.full((1, C), _BIG, jnp.float32), z1, z1,
+                 jnp.full((1, C), -1, jnp.int32)), unroll=False)
+
+            trout[:] = jnp.concatenate(
+                [trout[1:RS], t_n, trout[RS + 1:2 * RS], u_n,
+                 trout[2 * RS + 1:], v_n], axis=0)
+            trouti[:] = jnp.concatenate([trouti[1:], tri_n], axis=0)
+            rayin[:] = jnp.concatenate(
+                [_rot_block(rayin[ci * RS:(ci + 1) * RS])
+                 for ci in range(6)], axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, rr, row_body, 0, unroll=False)
+        t = trout[RS - rr:RS, :]
+        u = trout[2 * RS - rr:2 * RS, :]
+        v = trout[3 * RS - rr:3 * RS, :]
+        tri = trouti[RS - rr:RS, :]
+        return t, t < _BIG, u, v, tri
+
+    return trace
+
+
 def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX,
                       chunk: int = 0):
     """One-hot MXU table-row fetch builder.  Returns
@@ -1212,7 +1408,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                     light_depth: int = 1, frame_group: int = 1,
                     ray_lanes: int = RAY_LANES, tri_tile: int = TRI_TILE,
                     tex_shapes=None, cull: bool | None = None,
-                    interpret: bool = False):
+                    sparse: bool = False, interpret: bool = False):
     """Build the jitted megakernel renderer for a fixed configuration.
 
     ``sampler``: 'uniform' | 'cosine' | 'ggx' | 'brdf' (hemisphere family,
@@ -1243,8 +1439,11 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
     use_lt = nee or light           # techniques that read the light tree
     textured = tex_shapes is not None
     n_tri_tiles = T // TT
-    if cull is None:
+    if sparse:
+        cull = False    # sparse supersedes the @pl.when tile cull
+    elif cull is None:
         cull = n_tri_tiles >= 8
+    NT = max(((n_tri_tiles + 127) // 128) * 128, 128)
     NL = max(((n_light_nodes + 127) // 128) * 128, 128)
 
     RS = 8           # scratch row geometry (one full sublane tile), ≥ R
@@ -1263,6 +1462,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         txp_ref = refs.pop(0) if textured else None
         txb_ref = refs.pop(0) if textured else None
         taabb_ref = refs.pop(0) if cull else None
+        tbox_ref = refs.pop(0) if sparse else None
         out_ref = refs.pop(0)
         rayin, trout, trouti, lkin, bank = refs[:5]
         refs = refs[5:]
@@ -1270,14 +1470,20 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                         else (None, None))
         trst, trsti = ((refs.pop(0), refs.pop(0)) if cull
                        else (None, None))
+        candst = refs.pop(0) if sparse else None
         tile = pl.program_id(0)
         cam = cam_ref[:]                   # (8, 4): inv_proj rows, inv_view rows
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
         pix = tile * C + lane              # (1, C) int32
         ox0, oy0, oz0, dx0, dy0, dz0 = build_raygen(cam, width, height)(pix)
 
-        trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS,
-                            taabb=taabb_ref, trst=trst, trsti=trsti)
+        if sparse:
+            trace = build_trace_sparse(p_ref, tbox_ref, rayin, trout,
+                                       trouti, candst, C, TT, T, RS)
+        else:
+            trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T,
+                                RS, taabb=taabb_ref, trst=trst,
+                                trsti=trsti)
         _rows_lookup = build_rows_lookup(lkin, bank, C, RS, NR_MAX)
 
         def tri_rows(tri_idx, rows):
@@ -1748,6 +1954,9 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
     if cull:
         in_specs.append(pl.BlockSpec((n_tri_tiles, 8), full,
                                      memory_space=pltpu.SMEM))
+    if sparse:
+        in_specs.append(pl.BlockSpec((8, NT), full,
+                                     memory_space=pltpu.VMEM))
 
     scratch_shapes = [
         pltpu.VMEM((6 * RS, C), jnp.float32),       # rayin
@@ -1766,10 +1975,14 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
             pltpu.VMEM((RS, C), jnp.float32),       # trst (t, u, v)
             pltpu.VMEM((RS, C), jnp.int32),         # trsti (tri)
         ]
+    if sparse:
+        scratch_shapes += [
+            pltpu.VMEM((NT, 1), jnp.float32),       # candst (tile ids)
+        ]
 
     @jax.jit
     def render(cam_mats, P, AT, frame0, L=None, TXP=None, TXB=None,
-               TAABB=None):
+               TAABB=None, TBOX=None):
         args = [cam_mats, frame0, P, AT]
         if use_lt:
             Lp = L
@@ -1780,6 +1993,11 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
             args.extend([TXP, TXB])
         if cull:
             args.append(TAABB)
+        if sparse:
+            TB = TBOX
+            if TB.shape[1] < NT:
+                TB = jnp.pad(TB, ((0, 0), (0, NT - TB.shape[1])))
+            args.append(TB)
         out = pl.pallas_call(
             kernel,
             grid=grid,

@@ -851,7 +851,8 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
                         n_frames: int, tex_shapes=None, cull: bool = False,
                         interpret: bool = False,
                         probe_fake_vis: bool = False,
-                        probe_no_vis: bool = False):
+                        probe_no_vis: bool = False,
+                        probe_closest_vis: bool = False):
     """MONO ReSTIR GI: the whole frame in ONE heavy kernel.
 
     Estimator deviation vs the 3-kernel pipeline (documented): spatial
@@ -901,7 +902,7 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
                         else (None, None))
         trst, trsti = ((refs.pop(0), refs.pop(0)) if cull
                        else (None, None))
-        (distst, occst, occout, win0, win1, win_t0, win_t1,
+        (distst, occst, occout, nwin, nb_sems, win_t0, win_t1,
          dma_sem) = refs
 
         tile = pl.program_id(0)
@@ -1140,6 +1141,12 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
         key = _fold(key, _u32(8002))
         if N_NBR > 0:
             z = jnp.where(shade, res["m"], 0.0)
+            # PERF.md #18c: issue ALL neighbor-window DMAs before waiting
+            # on any — a dma.start()/wait() pair interleaved between two
+            # trace sweeps cost ~1.2 ms per sweep on v5e while the sweeps
+            # and the DMAs were each ~free in isolation.  Per-copy
+            # semaphore slots avoid wait aliasing.
+            copies = []
             for nidx in range(N_NBR):
                 d_x = offs_ref[nidx, 0]
                 d_y = offs_ref[nidx, 1]
@@ -1148,17 +1155,109 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
                 q0 = s2 // C
                 r_sh = s2 - q0 * C
                 q1 = jnp.minimum(q0 + 1, G - 1)
-
-                def read_stage(q, win):
+                for j, q in enumerate((q0, q1)):
+                    slot = 2 * nidx + j
                     dma = pltpu.make_async_copy(
                         stage_prev_ref.at[pl.ds(q * _GS_ROWS, _GS_ROWS), :],
-                        win, dma_sem)
+                        nwin.at[slot * _GS_ROWS:(slot + 1) * _GS_ROWS, :],
+                        nb_sems.at[slot])
                     dma.start()
-                    dma.wait()
-                    return win[:]
+                    copies.append(dma)
+            for dma in copies:
+                dma.wait()
 
-                b0 = pltpu.roll(read_stage(q0, win0), (C - r_sh) % C, axis=1)
-                b1 = pltpu.roll(read_stage(q1, win1), (C - r_sh) % C, axis=1)
+            # ---- batched visibility (PERF.md #18c) -----------------------
+            # A trace sweep placed PER NEIGHBOR in this merge section
+            # costs ~1.2-1.4 ms/frame on v5e regardless of builder
+            # (shadow or closest-hit), loop carries, unrolling, code
+            # size, DMA interleaving, or ray provenance — measured nbr
+            # sweep 0/1/2/5 -> ~0/0.61/2.03/6.32 ms/frame.  So assemble
+            # every neighbor's segment ray first (cheap row math), run
+            # the sweeps BATCHED rr<=RS (the NEE kernel's fast shape),
+            # and merge afterwards with the vis rows extracted by index.
+            def nbr_rows_static(nidx):
+                # rolls + row extraction for one neighbor, static nidx
+                d_x = offs_ref[nidx, 0]
+                d_y = offs_ref[nidx, 1]
+                off2 = d_y * width + d_x
+                s2 = jnp.clip(tile * C + off2, 0, B - C)
+                r_sh = s2 - (s2 // C) * C
+                b0 = pltpu.roll(
+                    nwin[2 * nidx * _GS_ROWS:(2 * nidx + 1) * _GS_ROWS, :],
+                    (C - r_sh) % C, axis=1)
+                b1 = pltpu.roll(
+                    nwin[(2 * nidx + 1) * _GS_ROWS:
+                         (2 * nidx + 2) * _GS_ROWS, :],
+                    (C - r_sh) % C, axis=1)
+                return jnp.where(lane < C - r_sh, b0, b1)
+
+            rows_o = ([], [], [])
+            rows_d = ([], [], [])
+            rows_dist = []
+            for nidx in range(N_NBR):
+                nbA = nbr_rows_static(nidx)
+                spA = (nbA[_GS_SP:_GS_SP + 1, :],
+                       nbA[_GS_SP + 1:_GS_SP + 2, :],
+                       nbA[_GS_SP + 2:_GS_SP + 3, :])
+                snA = (nbA[_GS_SN:_GS_SN + 1, :],
+                       nbA[_GS_SN + 1:_GS_SN + 2, :],
+                       nbA[_GS_SN + 2:_GS_SN + 3, :])
+                drA = (px_ - spA[0], py_ - spA[1], pz_ - spA[2])
+                dist_A = jnp.sqrt(jnp.maximum(
+                    drA[0] * drA[0] + drA[1] * drA[1] + drA[2] * drA[2],
+                    1e-20))
+                for c in range(3):
+                    rows_o[c].append(spA[c] + snA[c] * _EPS)
+                    rows_d[c].append(drA[c] / dist_A)
+                rows_dist.append(dist_A)
+            if probe_fake_vis:
+                # PERF PROBE ONLY (wrong image): synthetic register-
+                # derived rays of the same count (PERF.md #18a)
+                rows_o = ([px_] * N_NBR, [py_] * N_NBR, [pz_] * N_NBR)
+                rows_d = ([nx] * N_NBR, [ny] * N_NBR, [nz] * N_NBR)
+                rows_dist = [jnp.full((1, C), 0.5, jnp.float32) + 0.01 * n
+                             for n in range(N_NBR)]
+
+            vis_rows = []
+            for base in range(0, N_NBR, RS):
+                sl = slice(base, min(base + RS, N_NBR))
+                bo = [jnp.concatenate(rows_o[c][sl], axis=0)
+                      for c in range(3)]
+                bd = [jnp.concatenate(rows_d[c][sl], axis=0)
+                      for c in range(3)]
+                bdist = jnp.concatenate(rows_dist[sl], axis=0)
+                if probe_no_vis:
+                    # PERF PROBE ONLY (wrong image): no sweep at all
+                    vis_rows.append(jnp.ones_like(bdist))
+                elif probe_closest_vis:
+                    # PERF PROBE (same image): closest-hit builder in the
+                    # shadow builder's role
+                    tolB = jnp.maximum(1e-4, bdist * 1e-3)
+                    tB, hB, _, _, _ = trace(*bo, *bd)
+                    vis_rows.append(
+                        (hB & (jnp.abs(tB - bdist) <= tolB))
+                        .astype(jnp.float32))
+                else:
+                    vis_rows.append(
+                        shadow_visible(*bo, *bd, bdist)
+                        .astype(jnp.float32))
+            vis_f = jnp.concatenate(vis_rows, axis=0)   # (N_NBR, C) 0/1
+            nbr_iota = jax.lax.broadcasted_iota(jnp.int32, (N_NBR, C), 0)
+
+            def nbr_body(nidx, carry):
+                z, key, res = carry
+                d_x = offs_ref[nidx, 0]
+                d_y = offs_ref[nidx, 1]
+                off2 = d_y * width + d_x
+                s2 = jnp.clip(tile * C + off2, 0, B - C)
+                q0 = s2 // C
+                r_sh = s2 - q0 * C
+                b0 = pltpu.roll(
+                    nwin[pl.ds(2 * nidx * _GS_ROWS, _GS_ROWS), :],
+                    (C - r_sh) % C, axis=1)
+                b1 = pltpu.roll(
+                    nwin[pl.ds((2 * nidx + 1) * _GS_ROWS, _GS_ROWS), :],
+                    (C - r_sh) % C, axis=1)
                 nb = jnp.where(lane < C - r_sh, b0, b1)
 
                 ox_i = px_i + d_x
@@ -1199,28 +1298,8 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
                 p_n = jnp.where(jac > 0.0,
                                 _rad_norm(radn) / jnp.maximum(jac, 1e-12),
                                 0.0)
-                if probe_no_vis:
-                    # PERF PROBE ONLY (wrong image): skip the visibility
-                    # trace entirely, keep the DMAs/rolls/merges — splits
-                    # "trace arithmetic" from "neighbor-read machinery"
-                    # (PERF.md #18b decomposition)
-                    vis = dist_r > 0.0
-                elif probe_fake_vis:
-                    # PERF PROBE ONLY (wrong image): trace synthetic
-                    # register-derived rays of the same count — isolates
-                    # whether DMA-derived trace inputs are the cost
-                    # (PERF.md #18a round-3 test)
-                    vis = shadow_visible(px_, py_, pz_,
-                                         nx, ny, nz,
-                                         jnp.full((1, C), 0.5, jnp.float32)
-                                         + 0.01 * nidx)
-                else:
-                    # rr=1 visibility segment (sample point -> visible pt)
-                    vis = shadow_visible(spn[0] + snn[0] * _EPS,
-                                         spn[1] + snn[1] * _EPS,
-                                         spn[2] + snn[2] * _EPS,
-                                         drx / dist_r, dry / dist_r,
-                                         drz / dist_r, dist_r)
+                vis = jnp.sum(jnp.where(nbr_iota == nidx, vis_f, 0.0),
+                              axis=0, keepdims=True) > 0.5
                 p_n = jnp.where(vis, p_n, 0.0)
                 nb_w = nrow(_GS_W)
                 nb_m = nrow(_GS_M)
@@ -1229,6 +1308,10 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
                 key, u_acc = _next_uniform(key)
                 res = _gi_res_update(res, ns, p_n * nb_w * nb_m, nb_m,
                                      p_n, u_acc, ok)
+                return z, key, res
+
+            z, key, res = jax.lax.fori_loop(0, N_NBR, nbr_body,
+                                            (z, key, res), unroll=False)
 
             p_sel = res["phat"]
             res["w"] = jnp.where(
@@ -1314,8 +1397,10 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
             pltpu.VMEM((RS, C), jnp.float32),            # distst
             pltpu.VMEM((8, C), jnp.float32),             # occst
             pltpu.VMEM((RS, C), jnp.float32),            # occout
-            pltpu.VMEM((_GS_ROWS, C), jnp.float32),      # win0
-            pltpu.VMEM((_GS_ROWS, C), jnp.float32),      # win1
+            # all neighbor windows in one scratch (2 per neighbor), so
+            # every DMA can be issued before any is waited on
+            pltpu.VMEM((2 * max(N_NBR, 1) * _GS_ROWS, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2 * max(N_NBR, 1),)),
             pltpu.VMEM((_GST_ROWS, C), jnp.float32),     # win_t0
             pltpu.VMEM((_GST_ROWS, C), jnp.float32),     # win_t1
             pltpu.SemaphoreType.DMA(()),
@@ -1375,7 +1460,8 @@ class MegakernelReSTIRGI:
                  mono: bool | None = None, cull: bool | None = None,
                  probe_split_vis: bool = False,
                  probe_fake_vis: bool = False,
-                 probe_no_vis: bool = False):
+                 probe_no_vis: bool = False,
+                 probe_closest_vis: bool = False):
         import os
 
         # perf probes (benchmarks/probe_restir.py) — fake_vis bakes a WRONG
@@ -1383,6 +1469,7 @@ class MegakernelReSTIRGI:
         self.probe_split_vis = probe_split_vis
         self.probe_fake_vis = probe_fake_vis
         self.probe_no_vis = probe_no_vis
+        self.probe_closest_vis = probe_closest_vis
         if probe_fake_vis or probe_no_vis:
             print("WARNING: probe_fake_vis/no_vis — image is a PERF PROBE, "
                   "visibility term is synthetic/WRONG", flush=True)
@@ -1423,7 +1510,8 @@ class MegakernelReSTIRGI:
             if self.mono:
                 make = make_restir_gi_mono
                 probes = dict(probe_fake_vis=self.probe_fake_vis,
-                              probe_no_vis=self.probe_no_vis)
+                              probe_no_vis=self.probe_no_vis,
+                              probe_closest_vis=self.probe_closest_vis)
             else:
                 make = make_restir_gi_megakernel
                 probes = dict(probe_split_vis=self.probe_split_vis)
