@@ -42,7 +42,9 @@ def main():
             probe_fake_vis=os.environ.get("FYP_GI_FAKE_VIS", "0") == "1",
             probe_no_vis=os.environ.get("FYP_GI_NO_VIS", "0") == "1",
             probe_closest_vis=os.environ.get("FYP_GI_CLOSEST_VIS",
-                                             "0") == "1")
+                                             "0") == "1",
+            final_vis=(None if os.environ.get("FYP_GI_FINAL_VIS") is None
+                       else os.environ["FYP_GI_FINAL_VIS"] == "1"))
         print(f"gi cull={mk.cull} mono={mk.mono}", flush=True)
     else:
         settings = RenderSettings(technique=SamplingTechnique.RESTIR_DI,
@@ -62,18 +64,9 @@ def main():
     dt = time.perf_counter() - t0 - 0.4
     print(f"steady: {dt*1000:.1f} ms total, {dt*1000/frames:.2f} ms/frame",
           flush=True)
-    # fence-noise-free marginal: difference 1-call vs 3-call steady walls
-    # (same compiled kernel; the fixed tunnel overhead cancels)
-    walls = []
-    for ncall in (1, 3):
-        t0 = time.perf_counter()
-        for _ in range(ncall):
-            out = mk.render_many(frames)
-        float(jax.jit(lambda x: x.ravel()[0])(out))
-        walls.append(time.perf_counter() - t0)
-    marg = (walls[1] - walls[0]) / (2 * frames)
-    print(f"marginal: {marg*1000:.3f} ms/frame "
-          f"(walls {walls[0]:.3f}s, {walls[1]:.3f}s x3)", flush=True)
+    # (a 1-vs-3-call "marginal" readout was tried here and removed: each
+    # render_many call pays ~0.4 s of EAGER tunnel ops, so the difference
+    # measures per-call overhead, not per-frame cost)
     print("mean:", float(jnp.mean(out)), flush=True)
 
 

@@ -36,6 +36,9 @@ def main():
 
     cull_env = os.environ.get("PROBE_CULL", "auto")
     cull = None if cull_env == "auto" else bool(int(cull_env))
+    sparse = bool(int(os.environ.get("PROBE_SPARSE", "0")))
+    tbox = MK.prepare_tile_boxes_lanes(mscene, MK.TRI_TILE) if sparse \
+        else None
     tex_on = bool(int(os.environ.get("PROBE_TEX", "1"))) \
         and MK.scene_is_textured(scene)
     txp = txb = tex_shapes = None
@@ -47,17 +50,18 @@ def main():
         n_frames=frames, n_tris=T, sampler=sampler,
         n_light_nodes=L.shape[1], light_depth=depth, frame_group=8,
         ray_lanes=MK._pick_ray_lanes(res * res), tex_shapes=tex_shapes,
-        cull=cull)
+        cull=cull, sparse=sparse)
     cam_mats = jnp.concatenate([jnp.asarray(cam.inv_projection),
                                 jnp.asarray(cam.inv_view)], axis=0)
     frame0 = jnp.asarray([[1]], jnp.int32)
-    kw = dict(L=L, TXP=txp, TXB=txb, TAABB=taabb)
+    kw = dict(L=L, TXP=txp, TXB=txb, TAABB=taabb, TBOX=tbox)
     t0 = time.perf_counter()
     out = render(cam_mats, P, AT, frame0, **kw)
     v = float(jax.jit(lambda x: x.ravel()[0])(out))
     t1 = time.perf_counter()
     print(f"COMPILE+RUN OK scene={scene_name} sampler={sampler} T={T} "
-          f"tiles={taabb.shape[0]} cull={cull} tex={tex_on} res={res} "
+          f"tiles={taabb.shape[0]} cull={cull} sparse={sparse} "
+          f"tex={tex_on} res={res} "
           f"first={v:.4f} wall={t1 - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     out = render(cam_mats, P, AT, frame0, **kw)

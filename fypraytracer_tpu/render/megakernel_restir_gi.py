@@ -849,7 +849,7 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
 
 def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
                         n_frames: int, tex_shapes=None, cull: bool = False,
-                        interpret: bool = False,
+                        interpret: bool = False, final_vis: bool = True,
                         probe_fake_vis: bool = False,
                         probe_no_vis: bool = False,
                         probe_closest_vis: bool = False):
@@ -862,11 +862,21 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
     one kernel).  1/Z bias accounting is unchanged, so the estimator
     stays unbiased; frame 1 simply has no spatial neighbors.
 
-    Motivation (PERF.md #18): rr=1 trace loops inside heavy multi-loop
-    kernels run at full speed everywhere measured; the 3-kernel GI's cost
-    is the lone rr=5 visibility trace in the thin K2b.  Here every trace
-    (primary, path, bounces, 5 visibility segments) is rr=1 inside one
-    heavy kernel.
+    ``final_vis=True`` (default): spatial neighbors merge with the
+    no-visibility target pdf — the original ReSTIR RIS formulation
+    (Bitterli et al. 2020, Alg. 3; the reference instead re-traces per
+    neighbor, Renderer.cu:2356-2366) — and ONE visibility sweep on the
+    SELECTED sample gates the final shade.  Tradeoff: occluded winners
+    are discarded instead of never entering the reservoir (the standard
+    ReSTIR visibility-darkening bias, bounded by the statistical tests);
+    cost drops from 5 sweeps to 1 (~1.2 ms each on v5e, PERF.md #18c).
+    ``final_vis=False`` restores the reference's per-neighbor rejection
+    (batched into one rr=N sweep).
+
+    Measured cost anatomy (PERF.md #18, #18b-c): rr=1 trace loops inside
+    the K1 section run at ~full VPU speed; any sweep in the spatial
+    section costs ~1.2-1.4 ms/frame regardless of builder, batching,
+    carries, code size, or DMA structure — hence exactly one there.
 
     Returns ``render(cam, P, AT, frame0, state, stage, ppv0, ppv1,
     [TXP, TXB], [TAABB]) -> (summed hdr, new_state, new_stage)``.
@@ -1167,6 +1177,11 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
                 dma.wait()
 
             # ---- batched visibility (PERF.md #18c) -----------------------
+            # (skipped in final_vis mode: neighbors merge with the
+            # no-visibility target pdf — the original ReSTIR RIS form,
+            # Bitterli 2020 — and ONE sweep on the selected winner gates
+            # the final shade.  5x fewer sweeps; the standard visibility
+            # darkening tradeoff, documented in the module docstring.)
             # A trace sweep placed PER NEIGHBOR in this merge section
             # costs ~1.2-1.4 ms/frame on v5e regardless of builder
             # (shadow or closest-hit), loop carries, unrolling, code
@@ -1175,7 +1190,7 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
             # every neighbor's segment ray first (cheap row math), run
             # the sweeps BATCHED rr<=RS (the NEE kernel's fast shape),
             # and merge afterwards with the vis rows extracted by index.
-            def nbr_rows_static(nidx):
+            def nbr_rows_static(nidx):   # noqa: used when not final_vis
                 # rolls + row extraction for one neighbor, static nidx
                 d_x = offs_ref[nidx, 0]
                 d_y = offs_ref[nidx, 1]
@@ -1194,7 +1209,7 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
             rows_o = ([], [], [])
             rows_d = ([], [], [])
             rows_dist = []
-            for nidx in range(N_NBR):
+            for nidx in ([] if final_vis else range(N_NBR)):
                 nbA = nbr_rows_static(nidx)
                 spA = (nbA[_GS_SP:_GS_SP + 1, :],
                        nbA[_GS_SP + 1:_GS_SP + 2, :],
@@ -1219,7 +1234,7 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
                              for n in range(N_NBR)]
 
             vis_rows = []
-            for base in range(0, N_NBR, RS):
+            for base in ([] if final_vis else range(0, N_NBR, RS)):
                 sl = slice(base, min(base + RS, N_NBR))
                 bo = [jnp.concatenate(rows_o[c][sl], axis=0)
                       for c in range(3)]
@@ -1241,8 +1256,10 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
                     vis_rows.append(
                         shadow_visible(*bo, *bd, bdist)
                         .astype(jnp.float32))
-            vis_f = jnp.concatenate(vis_rows, axis=0)   # (N_NBR, C) 0/1
-            nbr_iota = jax.lax.broadcasted_iota(jnp.int32, (N_NBR, C), 0)
+            if not final_vis:
+                vis_f = jnp.concatenate(vis_rows, axis=0)  # (N_NBR, C) 0/1
+                nbr_iota = jax.lax.broadcasted_iota(jnp.int32,
+                                                    (N_NBR, C), 0)
 
             def nbr_body(nidx, carry):
                 z, key, res = carry
@@ -1298,9 +1315,10 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
                 p_n = jnp.where(jac > 0.0,
                                 _rad_norm(radn) / jnp.maximum(jac, 1e-12),
                                 0.0)
-                vis = jnp.sum(jnp.where(nbr_iota == nidx, vis_f, 0.0),
-                              axis=0, keepdims=True) > 0.5
-                p_n = jnp.where(vis, p_n, 0.0)
+                if not final_vis:
+                    vis = jnp.sum(jnp.where(nbr_iota == nidx, vis_f, 0.0),
+                                  axis=0, keepdims=True) > 0.5
+                    p_n = jnp.where(vis, p_n, 0.0)
                 nb_w = nrow(_GS_W)
                 nb_m = nrow(_GS_M)
                 ns = dict(sp=spn, sn=snn, rad=radn)
@@ -1331,6 +1349,15 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
                            surf0["alb"], surf0["rough"], surf0["metal"])
         cos_t = jnp.maximum(sdx * nx + sdy * ny + sdz * nz, 0.0)
         lane_ok = shade & (res["w"] > 0.0)
+        if final_vis and N_NBR > 0:
+            # one sweep on the selected sample (sample point -> visible
+            # point), replacing the per-neighbor sweeps
+            vis_sel = shadow_visible(
+                res["sp"][0] + res["sn"][0] * _EPS,
+                res["sp"][1] + res["sn"][1] * _EPS,
+                res["sp"][2] + res["sn"][2] * _EPS,
+                -sdx, -sdy, -sdz, dist)
+            lane_ok = lane_ok & vis_sel
         miss = ~hit0
         prim_em = prim_emissive
         rows_hdr = []
@@ -1458,6 +1485,7 @@ class MegakernelReSTIRGI:
 
     def __init__(self, scene: Scene, camera, settings, interpret: bool = False,
                  mono: bool | None = None, cull: bool | None = None,
+                 final_vis: bool | None = None,
                  probe_split_vis: bool = False,
                  probe_fake_vis: bool = False,
                  probe_no_vis: bool = False,
@@ -1470,6 +1498,9 @@ class MegakernelReSTIRGI:
         self.probe_fake_vis = probe_fake_vis
         self.probe_no_vis = probe_no_vis
         self.probe_closest_vis = probe_closest_vis
+        # final_vis (mono only): single winner-visibility sweep instead
+        # of per-neighbor sweeps; default ON for the mono fast path
+        self.final_vis = True if final_vis is None else final_vis
         if probe_fake_vis or probe_no_vis:
             print("WARNING: probe_fake_vis/no_vis — image is a PERF PROBE, "
                   "visibility term is synthetic/WRONG", flush=True)
@@ -1511,7 +1542,8 @@ class MegakernelReSTIRGI:
                 make = make_restir_gi_mono
                 probes = dict(probe_fake_vis=self.probe_fake_vis,
                               probe_no_vis=self.probe_no_vis,
-                              probe_closest_vis=self.probe_closest_vis)
+                              probe_closest_vis=self.probe_closest_vis,
+                              final_vis=self.final_vis)
             else:
                 make = make_restir_gi_megakernel
                 probes = dict(probe_split_vis=self.probe_split_vis)
