@@ -991,7 +991,7 @@ def prepare_tile_boxes_lanes(scene: Scene, tri_tile: int = TRI_TILE,
 
 
 def build_trace_sparse(p_ref, tbox_ref, rayin, trout, trouti, candst,
-                       C, TT, T, RS=_RS):
+                       C, TT, T, RS=_RS, p_hbm=None):
     """Closest-hit trace that visits ONLY the triangle tiles whose AABB
     a conservative ray-bundle interval can reach — the TPU-idiomatic
     stand-in for the reference's hierarchical TLAS/BLAS descent
@@ -1013,12 +1013,16 @@ def build_trace_sparse(p_ref, tbox_ref, rayin, trout, trouti, candst,
     tiles; fully incoherent rows degrade to the dense sweep plus ~2-4 us
     of mask/compaction overhead.  Correctness never depends on
     coherence.  Scratch ``candst`` is (NT, 1) f32 (tile ids as exact
-    floats).  Same rayin/trout/trouti rotation contract as build_trace."""
+    floats).  Same rayin/trout/trouti rotation contract as build_trace.
+
+    ``p_hbm``: (ptile_ref, dma_sem) for HBM-resident plane tables (big
+    scenes): each candidate tile's (TT, 16) rows are DMA'd into the
+    window before intersection — VMEM holds only the working tile, so
+    scene size is bounded by HBM, not VMEM."""
     NT = tbox_ref.shape[1]
     n_tri_tiles = T // TT
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (TT, C), 0)
     lane_nt = jax.lax.broadcasted_iota(jnp.int32, (1, NT), 1)
-    sub_nt = jax.lax.broadcasted_iota(jnp.int32, (NT, 1), 0)
 
     def _sane_minmax(v):
         fin = jnp.isfinite(v)
@@ -1081,14 +1085,28 @@ def build_trace_sparse(p_ref, tbox_ref, rayin, trout, trouti, candst,
                                   pltpu.roll(inc, sh, axis=1), 0.0)
             sh *= 2
         slot = inc - maskf                                   # (1, NT)
-        cnt = jnp.sum(maskf)
-        # scatter tile -> slot: one-hot row reduce (exact in f32)
-        sel = (slot == sub_nt.astype(jnp.float32)) & mask    # (NT, NT)
-        cand = jnp.sum(jnp.where(sel,
-                                 lane_nt.astype(jnp.float32), 0.0),
-                       axis=1, keepdims=True)                # (NT, 1)
-        candst[:, :] = cand
-        return cnt.astype(jnp.int32)
+        cnt = jnp.sum(maskf).astype(jnp.int32)
+        # scatter tile -> slot: one-hot row reduce (exact in f32),
+        # chunked over sublane blocks so the scoped (SC, NT) stays small
+        # (a monolithic (NT, NT) sel at NT=896 was 3.2 MB per call site
+        # and OOMed the 16 MB scoped-vmem stack on the stress scene);
+        # only slot blocks below cnt are ever read -> dynamic trip
+        SC = 128
+        lanes_f = lane_nt.astype(jnp.float32)
+
+        def sbody(sc, _):
+            s0 = sc * SC
+            s_iota = (jax.lax.broadcasted_iota(jnp.int32, (SC, NT), 0)
+                      + s0).astype(jnp.float32)
+            sel = (slot == s_iota) & mask                    # (SC, NT)
+            cand_c = jnp.sum(jnp.where(sel, lanes_f, 0.0),
+                             axis=1, keepdims=True)          # (SC, 1)
+            candst[pl.ds(s0, SC), :] = cand_c
+            return 0
+
+        jax.lax.fori_loop(0, (cnt + SC - 1) // SC, sbody, 0,
+                          unroll=False)
+        return cnt
 
     def trace(ox, oy, oz, dx, dy, dz):
         ox, oy, oz, dx, dy, dz = jnp.broadcast_arrays(ox, oy, oz,
@@ -1110,7 +1128,15 @@ def build_trace_sparse(p_ref, tbox_ref, rayin, trout, trouti, candst,
             def tile_step(j, carry):
                 t_c, u_c, v_c, tri_c = carry
                 k = jnp.sum(candst[pl.ds(j, 1), :]).astype(jnp.int32)
-                pt = p_ref[pl.ds(k * TT, TT), :]
+                if p_hbm is None:
+                    pt = p_ref[pl.ds(k * TT, TT), :]
+                else:
+                    ptile, psem = p_hbm
+                    dma = pltpu.make_async_copy(
+                        p_ref.at[pl.ds(k * TT, TT), :], ptile, psem)
+                    dma.start()
+                    dma.wait()
+                    pt = ptile[:]
 
                 def pc(jj):
                     return pt[:, jj:jj + 1]
@@ -1171,6 +1197,23 @@ def build_trace_sparse(p_ref, tbox_ref, rayin, trout, trouti, candst,
     return trace
 
 
+def _lookup_chunk(n_entries: int, chunk: int = 0):
+    """(n_chunks, csz) for the chunked one-hot fetch: csz is the largest
+    128-multiple divisor of n_entries not exceeding the budget."""
+    eff_chunk = chunk if chunk else (4096 if n_entries > 4096 else 0)
+    if eff_chunk and n_entries > eff_chunk:
+        assert n_entries % 128 == 0, n_entries
+        m_max = max(eff_chunk // 128, 1)
+        units = n_entries // 128
+        m = 1
+        for cand in range(1, m_max + 1):
+            if units % cand == 0:
+                m = cand
+        csz = 128 * m
+        return n_entries // csz, csz
+    return 1, n_entries
+
+
 def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX,
                       chunk: int = 0):
     """One-hot MXU table-row fetch builder.  Returns
@@ -1195,7 +1238,7 @@ def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX,
                         else bank[j * RS:j * RS + 1])
         bank[:] = jnp.concatenate(segs, axis=0)
 
-    def lookup(table_ref, n_entries, idx, rows, lo_map=None):
+    def lookup(table_ref, n_entries, idx, rows, lo_map=None, hbm=None):
         """Fetch at DEFAULT precision (one MXU pass).  The MXU rounds f32
         operands to bf16; id- and geometry-valued rows therefore carry a
         residual row (``lo_map``: main row -> residual row, built by
@@ -1212,14 +1255,9 @@ def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX,
         # bound the scoped one-hot: a monolithic (T, C) one-hot at T=7680
         # is 15.7 MB and overflows the 16 MB scoped-vmem budget alongside
         # the trace intermediates (measured compile OOM)
-        eff_chunk = chunk if chunk else (4096 if n_entries > 4096 else 0)
-        if eff_chunk and n_entries > eff_chunk:
-            n_chunks = -(-n_entries // eff_chunk)
-            while n_entries % n_chunks:
-                n_chunks += 1
-            csz = n_entries // n_chunks
-        else:
-            n_chunks, csz = 1, n_entries
+        n_chunks, csz = _lookup_chunk(n_entries, chunk)
+        assert hbm is None or n_chunks > 1, \
+            "HBM tables imply chunked fetches"
 
         def piece(at, r):
             p = at[r:r + 1, :]
@@ -1240,12 +1278,30 @@ def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX,
                     iota_t = jax.lax.broadcasted_iota(
                         jnp.int32, (csz, C), 0) + q * csz
                     oh = (iota_t == idxg).astype(jnp.float32)
+                    if hbm is None:
+                        tw = table_ref[:, pl.ds(q * csz, csz)]
+                    else:
+                        win, sem = hbm
+                        dma = pltpu.make_async_copy(
+                            table_ref.at[:, pl.ds(q * csz, csz)],
+                            win, sem)
+                        dma.start()
+                        dma.wait()
+                        tw = win[:]
                     return acc + jnp.dot(
-                        table_ref[:, pl.ds(q * csz, csz)], oh,
-                        preferred_element_type=jnp.float32)
+                        tw, oh, preferred_element_type=jnp.float32)
 
+                # visit only the chunks the row's index RANGE touches:
+                # Morton-ordered rays hit Morton-ordered triangles, so a
+                # row's ids cluster into 1-2 chunks; misses (id = -1)
+                # are excluded from the range and fetch zeros as before
+                # (an all-miss row gives q_lo > q_hi -> zero iterations)
+                live = idxg >= 0
+                q_lo = jnp.min(jnp.where(live, idxg,
+                                         jnp.int32(2 ** 30))) // csz
+                q_hi = jnp.max(jnp.where(live, idxg, -1)) // csz
                 at = jax.lax.fori_loop(
-                    0, n_chunks, cbody,
+                    q_lo, q_hi + 1, cbody,
                     jnp.zeros((k_rows, C), jnp.float32), unroll=False)
             bank_append([piece(at, r) for r in rows])
             lkin[:] = jnp.concatenate([lkin[1:], lkin[0:1]], axis=0)
@@ -1408,7 +1464,8 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                     light_depth: int = 1, frame_group: int = 1,
                     ray_lanes: int = RAY_LANES, tri_tile: int = TRI_TILE,
                     tex_shapes=None, cull: bool | None = None,
-                    sparse: bool = False, interpret: bool = False):
+                    sparse: bool = False, hbm_tables: bool | None = None,
+                    interpret: bool = False):
     """Build the jitted megakernel renderer for a fixed configuration.
 
     ``sampler``: 'uniform' | 'cosine' | 'ggx' | 'brdf' (hemisphere family,
@@ -1445,6 +1502,13 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         cull = n_tri_tiles >= 8
     NT = max(((n_tri_tiles + 127) // 128) * 128, 128)
     NL = max(((n_light_nodes + 127) // 128) * 128, 128)
+    # big scenes: P (T,16) + AT (56,T) can exceed VMEM (43 MB at 200k
+    # tris) -> keep them in HBM and DMA per-tile / per-chunk windows
+    if hbm_tables is None:
+        hbm_tables = T >= 32768
+    if hbm_tables:
+        assert sparse, "HBM-resident tables require the sparse trace"
+    _, lk_csz = _lookup_chunk(T)
 
     RS = 8           # scratch row geometry (one full sublane tile), ≥ R
     assert 1 <= R <= RS, (
@@ -1471,6 +1535,14 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         trst, trsti = ((refs.pop(0), refs.pop(0)) if cull
                        else (None, None))
         candst = refs.pop(0) if sparse else None
+        if hbm_tables:
+            ptile = refs.pop(0)
+            atwin = refs.pop(0)
+            psem = refs.pop(0)
+            asem = refs.pop(0)
+            p_hbm, a_hbm = (ptile, psem), (atwin, asem)
+        else:
+            p_hbm = a_hbm = None
         tile = pl.program_id(0)
         cam = cam_ref[:]                   # (8, 4): inv_proj rows, inv_view rows
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
@@ -1479,7 +1551,8 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
 
         if sparse:
             trace = build_trace_sparse(p_ref, tbox_ref, rayin, trout,
-                                       trouti, candst, C, TT, T, RS)
+                                       trouti, candst, C, TT, T, RS,
+                                       p_hbm=p_hbm)
         else:
             trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T,
                                 RS, taabb=taabb_ref, trst=trst,
@@ -1487,7 +1560,8 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         _rows_lookup = build_rows_lookup(lkin, bank, C, RS, NR_MAX)
 
         def tri_rows(tri_idx, rows):
-            return _rows_lookup(a_ref, T, tri_idx, rows, lo_map=_A_LO)
+            return _rows_lookup(a_ref, T, tri_idx, rows, lo_map=_A_LO,
+                                hbm=a_hbm)
 
         tex = None
         if textured:
@@ -1936,11 +2010,15 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
     grid = (B // C,)
     full = lambda i: (0, 0)
 
+    table_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_tables
+                  else None)
     in_specs = [
         pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
-        pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
-        pl.BlockSpec((_A_ROWS_TOT, T), full, memory_space=pltpu.VMEM),
+        table_spec or pl.BlockSpec((T, 16), full,
+                                   memory_space=pltpu.VMEM),
+        table_spec or pl.BlockSpec((_A_ROWS_TOT, T), full,
+                                   memory_space=pltpu.VMEM),
     ]
     if use_lt:
         in_specs.append(pl.BlockSpec((_P_ROWS_TOT, NL), full,
@@ -1978,6 +2056,13 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
     if sparse:
         scratch_shapes += [
             pltpu.VMEM((NT, 1), jnp.float32),       # candst (tile ids)
+        ]
+    if hbm_tables:
+        scratch_shapes += [
+            pltpu.VMEM((TT, 16), jnp.float32),            # ptile window
+            pltpu.VMEM((_A_ROWS_TOT, lk_csz), jnp.float32),  # at window
+            pltpu.SemaphoreType.DMA(()),                  # psem
+            pltpu.SemaphoreType.DMA(()),                  # asem
         ]
 
     @jax.jit

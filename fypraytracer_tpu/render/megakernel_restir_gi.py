@@ -1520,8 +1520,12 @@ class MegakernelReSTIRGI:
         self.settings = settings
         self.interpret = interpret
         # mono = single-kernel frame with LAGGED spatial reuse (see
-        # make_restir_gi_mono); opt-in via arg or FYP_GI_MONO=1
-        self.mono = (bool(int(os.environ.get("FYP_GI_MONO", "0")))
+        # make_restir_gi_mono).  Mono is the DEFAULT fast path since the
+        # final_vis rework (0.89 vs 6.9+ ms/frame, PERF.md #18c); the
+        # reference-faithful 3-kernel pipeline stays selectable via
+        # mono=False / FYP_GI_MONO=0.
+        env_mono = os.environ.get("FYP_GI_MONO")
+        self.mono = ((bool(int(env_mono)) if env_mono is not None else True)
                      if mono is None else mono)
         self.frame_index = 1
         self.tables = prepare_scene_tables(self.scene)

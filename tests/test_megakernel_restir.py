@@ -144,3 +144,32 @@ def test_megakernel_restir_gi_mono_unbiased():
             a = avg[qy, qx].mean()
             b = ref[qy, qx].mean()
             assert abs(a - b) / max(b, 1e-9) < 0.15, (qy, qx, a, b)
+
+
+def test_megakernel_restir_gi_final_vis_matches_per_neighbor():
+    """final_vis (one winner-visibility sweep, the original RIS form)
+    deviates from the reference's per-neighbor rejection only by the
+    documented visibility-darkening tradeoff — bounded here."""
+    from fypraytracer_tpu.render.megakernel_restir_gi import MegakernelReSTIRGI
+
+    builder, cam = cornell_box(width=32, height=32, with_spheres=True)
+    scene = builder.compile()
+    settings = RenderSettings(technique=SamplingTechnique.RESTIR_GI,
+                              bounces=2, spatial_neighbors=3,
+                              spatial_radius=8)
+    frames = 32
+    a = np.asarray(MegakernelReSTIRGI(
+        scene, cam, settings, interpret=True, mono=True,
+        final_vis=True).render_many(frames)).reshape(32, 32, 3)
+    b = np.asarray(MegakernelReSTIRGI(
+        scene, cam, settings, interpret=True, mono=True,
+        final_vis=False).render_many(frames)).reshape(32, 32, 3)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    rel = abs(a.mean() - b.mean()) / max(b.mean(), 1e-9)
+    assert rel < 0.05, (a.mean(), b.mean())
+    # occlusion-heavy quadrants (spheres) must stay close too
+    for qy in (slice(0, 16), slice(16, 32)):
+        for qx in (slice(0, 16), slice(16, 32)):
+            qa = a[qy, qx].mean()
+            qb = b[qy, qx].mean()
+            assert abs(qa - qb) / max(qb, 1e-9) < 0.12, (qy, qx, qa, qb)
