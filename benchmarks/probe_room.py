@@ -19,12 +19,16 @@ def main():
     scene_name = sys.argv[1] if len(sys.argv) > 1 else "room"
     sampler = sys.argv[2] if len(sys.argv) > 2 else "nee"
     frames = int(sys.argv[3]) if len(sys.argv) > 3 else 64
-    res = int(sys.argv[4]) if len(sys.argv) > 4 else 256
+    res_arg = sys.argv[4] if len(sys.argv) > 4 else "256"
+    if "x" in res_arg:
+        res_w, res_h = (int(v) for v in res_arg.split("x"))
+    else:
+        res_w = res_h = int(res_arg)
 
     from fypraytracer_tpu.render import megakernel as MK
     from fypraytracer_tpu.scene.sceneio import builtin_scene
 
-    builder, cam = builtin_scene(scene_name, res, res)
+    builder, cam = builtin_scene(scene_name, res_w, res_h)
     scene = builder.compile()
     T = scene.geometry.tri_v.shape[0]
 
@@ -45,11 +49,13 @@ def main():
     if tex_on:
         txp, txb, tex_shapes = MK.prepare_texture_tables(scene.textures)
 
+    lanes = int(os.environ.get("PROBE_LANES", "0")) \
+        or MK._pick_ray_lanes(res_w * res_h)
     render = MK.make_megakernel(
-        res, res, bounces=2, samples=1, sky_color=(0.05, 0.06, 0.08),
+        res_w, res_h, bounces=2, samples=1, sky_color=(0.05, 0.06, 0.08),
         n_frames=frames, n_tris=T, sampler=sampler,
         n_light_nodes=L.shape[1], light_depth=depth, frame_group=8,
-        ray_lanes=MK._pick_ray_lanes(res * res), tex_shapes=tex_shapes,
+        ray_lanes=lanes, tex_shapes=tex_shapes,
         cull=cull, sparse=sparse)
     cam_mats = jnp.concatenate([jnp.asarray(cam.inv_projection),
                                 jnp.asarray(cam.inv_view)], axis=0)
@@ -61,13 +67,14 @@ def main():
     t1 = time.perf_counter()
     print(f"COMPILE+RUN OK scene={scene_name} sampler={sampler} T={T} "
           f"tiles={taabb.shape[0]} cull={cull} sparse={sparse} "
-          f"tex={tex_on} res={res} "
+          f"tex={tex_on} res={res_w}x{res_h} lanes={lanes} "
           f"first={v:.4f} wall={t1 - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     out = render(cam_mats, P, AT, frame0, **kw)
     float(jax.jit(lambda x: x.ravel()[0])(out))
     dt = time.perf_counter() - t0 - 0.4
-    rays = res * res * (1 + 2 * 2) if sampler == "nee" else res * res * 3
+    rays = res_w * res_h * (1 + 2 * 2) if sampler == "nee" \
+        else res_w * res_h * 3
     print(f"steady: {dt*1000:.1f} ms total, {dt*1000/frames:.2f} ms/frame, "
           f"{rays / (dt / frames) / 1e6:.1f} M rays/s", flush=True)
 

@@ -186,6 +186,10 @@ def cmd_benchmark(args):
             samples=max(args.samples, 4)),
         frames=args.golden_frames, strict=args.strict)
     golden8 = to_uint8_rgb(finalize_pixels(golden_hdr, np.float32(1.0)))
+    if args.out:
+        from fypraytracer_tpu.utils.image import save_png
+        os.makedirs(args.out, exist_ok=True)
+        save_png(os.path.join(args.out, "golden.png"), golden8)
 
     rows = []
     for name in techniques:
@@ -200,6 +204,9 @@ def cmd_benchmark(args):
                      "avg_frame_ms": round(avg_ms, 2), "impl": impl,
                      "mse": round(mse, 4), "psnr": round(M.psnr(mse), 2)})
         print(json.dumps(rows[-1]))
+        if args.out:
+            from fypraytracer_tpu.utils.image import save_png
+            save_png(os.path.join(args.out, name + ".png"), rgb8)
     if args.out:
         os.makedirs(args.out, exist_ok=True)
         with open(os.path.join(args.out, "benchmark.json"), "w") as f:

@@ -1136,7 +1136,7 @@ def build_trace_sparse(p_ref, tbox_ref, rayin, trout, trouti, candst,
                         p_ref.at[pl.ds(k * TT, TT), :], ptile, psem)
                     dma.start()
                     dma.wait()
-                    pt = ptile[:]
+                    pt = ptile  # ref; pc() slices single columns
 
                 def pc(jj):
                     return pt[:, jj:jj + 1]
@@ -2059,7 +2059,12 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         ]
     if hbm_tables:
         scratch_shapes += [
-            pltpu.VMEM((TT, 16), jnp.float32),            # ptile window
+            # (TT, 128): the HBM->VMEM DMA must be lane-aligned (Mosaic
+            # rejects a 16-wide lane slice of a (1,128)-tiled memref on
+            # real TPU — interpret mode does not check this), so the HBM
+            # plane table is padded to 128 lanes and whole rows are
+            # windowed; compute still reads columns 0..15
+            pltpu.VMEM((TT, 128), jnp.float32),           # ptile window
             pltpu.VMEM((_A_ROWS_TOT, lk_csz), jnp.float32),  # at window
             pltpu.SemaphoreType.DMA(()),                  # psem
             pltpu.SemaphoreType.DMA(()),                  # asem
@@ -2068,6 +2073,9 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
     @jax.jit
     def render(cam_mats, P, AT, frame0, L=None, TXP=None, TXB=None,
                TAABB=None, TBOX=None):
+        if hbm_tables and P.shape[1] < 128:
+            # lane-align the HBM plane table for the per-tile DMA window
+            P = jnp.pad(P, ((0, 0), (0, 128 - P.shape[1])))
         args = [cam_mats, frame0, P, AT]
         if use_lt:
             Lp = L

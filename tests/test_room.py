@@ -78,3 +78,46 @@ def test_stress_scene_builds_and_renders():
     hdr = np.asarray(r.render_hdr())
     assert np.isfinite(hdr).all()
     assert hdr.mean() > 1e-3
+
+
+def test_room_hbm_sparse_parity():
+    """HBM-resident plane/attribute tables (big-scene path, forced here at
+    room size) are bit-identical to the VMEM path under the sparse trace.
+
+    The HBM window DMA is lane-alignment-sensitive (Mosaic rejects a
+    16-wide lane slice of a (1,128)-tiled memref on real TPU), so the
+    plane table is padded to 128 lanes inside render(); this pins the
+    padded path's numerics.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fypraytracer_tpu.render import megakernel as MK
+    from fypraytracer_tpu.scene.sceneio import builtin_scene
+
+    builder, cam = builtin_scene("room", 64, 64)
+    scene = builder.compile()
+    T = scene.geometry.tri_v.shape[0]
+    mscene, _ = MK.morton_permuted_scene(scene)
+    dscene = jax.tree_util.tree_map(jnp.asarray, mscene)
+    P, AT = MK.prepare_scene_tables(dscene)
+    L, depth = MK.prepare_light_table(dscene)
+    tbox = MK.prepare_tile_boxes_lanes(mscene, MK.TRI_TILE)
+    txp, txb, tex_shapes = MK.prepare_texture_tables(scene.textures)
+    cam_mats = jnp.concatenate([jnp.asarray(cam.inv_projection),
+                                jnp.asarray(cam.inv_view)], axis=0)
+    frame0 = jnp.asarray([[1]], jnp.int32)
+    common = dict(bounces=2, samples=1, sky_color=(0.05, 0.06, 0.08),
+                  n_frames=8, n_tris=T, sampler="nee",
+                  n_light_nodes=L.shape[1], light_depth=depth,
+                  frame_group=8, ray_lanes=512, tex_shapes=tex_shapes,
+                  interpret=True)
+    kw = dict(L=L, TXP=txp, TXB=txb, TBOX=tbox)
+    a = np.asarray(MK.make_megakernel(
+        64, 64, sparse=True, hbm_tables=False, **common)(
+            cam_mats, P, AT, frame0, **kw))
+    b = np.asarray(MK.make_megakernel(
+        64, 64, sparse=True, hbm_tables=True, **common)(
+            cam_mats, P, AT, frame0, **kw))
+    assert a.mean() > 0.01           # non-black
+    np.testing.assert_array_equal(a, b)
