@@ -1465,6 +1465,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                     ray_lanes: int = RAY_LANES, tri_tile: int = TRI_TILE,
                     tex_shapes=None, cull: bool | None = None,
                     sparse: bool = False, hbm_tables: bool | None = None,
+                    row_groups: int | None = None,
                     interpret: bool = False):
     """Build the jitted megakernel renderer for a fixed configuration.
 
@@ -1510,6 +1511,21 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         assert sparse, "HBM-resident tables require the sparse trace"
     _, lk_csz = _lookup_chunk(T)
 
+    # row groups per grid step: per-grid-step cost cliffs ~6-7x once the
+    # grid exceeds a few hundred steps at FIXED per-step work (PERF.md
+    # #25, the 1080p inefficiency) — loop RG pixel row-groups inside each
+    # step so the grid stays ~128-255 steps at any resolution.  RG=1
+    # (small grids) traces the exact pre-row-group kernel.
+    S = B // C
+    if row_groups is None:
+        RG = 1
+        for d in range(2, 65):
+            if S % d == 0 and S // d >= 128:
+                RG = d
+    else:
+        RG = row_groups
+    assert S % RG == 0, (S, RG)
+
     RS = 8           # scratch row geometry (one full sublane tile), ≥ R
     assert 1 <= R <= RS, (
         f"frame_group={R} exceeds the {RS}-row rotating scratch blocks; "
@@ -1546,8 +1562,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         tile = pl.program_id(0)
         cam = cam_ref[:]                   # (8, 4): inv_proj rows, inv_view rows
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
-        pix = tile * C + lane              # (1, C) int32
-        ox0, oy0, oz0, dx0, dy0, dz0 = build_raygen(cam, width, height)(pix)
+        raygen = build_raygen(cam, width, height)
 
         if sparse:
             trace = build_trace_sparse(p_ref, tbox_ref, rayin, trout,
@@ -1671,291 +1686,133 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                 _, pmf = jax.lax.fori_loop(0, light_depth, level, (idx0, pmf0))
                 return jnp.where(in_tree, pmf, 0.0)
 
-        # ---- hoisted primary hit (camera static within a dispatch) --------
-        t0, hit0, u0, v0, tri0 = trace(ox0, oy0, oz0, dx0, dy0, dz0)  # (1, C)
-        prim = surf_lookup(tri0, u0, v0)
-        em0 = prim["em"]
-        prim_emissive = hit0 & ((em0[0] * em0[0] + em0[1] * em0[1]
-                                 + em0[2] * em0[2]) > 0.0)
-        path_lane = hit0 & ~prim_emissive
-        hx0 = ox0 + dx0 * t0
-        hy0 = oy0 + dy0 * t0
-        hz0 = oz0 + dz0 * t0
+        # ---- row-group loop: several C-lane pixel blocks per grid step
+        # (PERF.md #25: per-grid-step cost cliffs ~6-7x once the grid
+        # exceeds ~128-512 steps at fixed per-step work; looping RG
+        # row-groups inside the step keeps the grid short at 1080p).
+        # RG == 1 inlines the body so small-grid kernels are unchanged.
+        def rg_body(rg, _):
+            pix = (tile * RG + rg) * C + lane      # (1, C) int32
+            ox0, oy0, oz0, dx0, dy0, dz0 = raygen(pix)
+            # ---- hoisted primary hit (camera static within a dispatch) --------
+            t0, hit0, u0, v0, tri0 = trace(ox0, oy0, oz0, dx0, dy0, dz0)  # (1, C)
+            prim = surf_lookup(tri0, u0, v0)
+            em0 = prim["em"]
+            prim_emissive = hit0 & ((em0[0] * em0[0] + em0[1] * em0[1]
+                                     + em0[2] * em0[2]) > 0.0)
+            path_lane = hit0 & ~prim_emissive
+            hx0 = ox0 + dx0 * t0
+            hy0 = oy0 + dy0 * t0
+            hz0 = oz0 + dz0 * t0
 
-        sub = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-        frame_base = frame_ref[0, 0]
-        pix_key = _pcg(pix.astype(jnp.uint32))
+            sub = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+            frame_base = frame_ref[0, 0]
+            pix_key = _pcg(pix.astype(jnp.uint32))
 
-        # ---- frame-group bodies (R frames in sublanes) ---------------------
-        # Every repeated region (samples, bounces) is a fori_loop — unrolled
-        # copies multiply the Mosaic scoped-vmem stack (see trace docstring).
-        def hemisphere_group(fi, acc):
-            frames = (frame_base + fi * R + sub).astype(jnp.uint32)  # (R, 1)
-            keyb = _fold(pix_key, frames)                            # (R, C)
+            # ---- frame-group bodies (R frames in sublanes) ---------------------
+            # Every repeated region (samples, bounces) is a fori_loop — unrolled
+            # copies multiply the Mosaic scoped-vmem stack (see trace docstring).
+            def hemisphere_group(fi, acc):
+                frames = (frame_base + fi * R + sub).astype(jnp.uint32)  # (R, 1)
+                keyb = _fold(pix_key, frames)                            # (R, C)
 
-            def sample_body(s, rad):
-                key = _fold(keyb, s.astype(jnp.uint32))
-                key = _fold(key, _u32(0))
+                def sample_body(s, rad):
+                    key = _fold(keyb, s.astype(jnp.uint32))
+                    key = _fold(key, _u32(0))
 
-                active = jnp.zeros((R, C), jnp.bool_) | path_lane
-                thr = [jnp.ones((R, C), jnp.float32) for _ in range(3)]
+                    active = jnp.zeros((R, C), jnp.bool_) | path_lane
+                    thr = [jnp.ones((R, C), jnp.float32) for _ in range(3)]
 
-                key, sx, sy, sz, pdf = scatter(key, prim, -dx0, -dy0, -dz0)
-                cos_t = jnp.maximum(sx * prim["nx"] + sy * prim["ny"]
-                                    + sz * prim["nz"], 0.0)
-                ok = pdf > 0.0
-                f = _cook_torrance(prim["nx"], prim["ny"], prim["nz"],
-                                   -dx0, -dy0, -dz0, sx, sy, sz,
-                                   prim["alb"], prim["rough"], prim["metal"])
-                scale = cos_t / jnp.where(ok, pdf, 1.0)
-                for c in range(3):
-                    thr[c] = thr[c] * f[c] * scale
-                active = active & ok
-                cox, coy, coz = (jnp.zeros_like(sx) + hx0,
-                                 jnp.zeros_like(sx) + hy0,
-                                 jnp.zeros_like(sx) + hz0)
-                cdx, cdy, cdz = sx, sy, sz
-
-                def bounce_body(_b, st):
-                    # the active mask rides the carry as f32 0/1 — i1
-                    # vector loop carries fail Mosaic's scf.for legalization
-                    (key, act_f, thr, rad, cox, coy, coz,
-                     cdx, cdy, cdz) = st
-                    active = act_f > 0.5
-                    rad = list(rad)
-                    thr = list(thr)
-                    t, hit, uu, vv, tri = trace(cox, coy, coz, cdx, cdy, cdz)
-                    surf = surf_lookup(tri, uu, vv, bounce=True)
-                    miss = ~hit
-                    for c in range(3):
-                        rad[c] = rad[c] + jnp.where(active & miss,
-                                                    thr[c] * sky[c], 0.0)
-                    active = active & hit
-                    em = surf["em"]
-                    em_hit = (em[0] * em[0] + em[1] * em[1]
-                              + em[2] * em[2]) > 0.0
-                    for c in range(3):
-                        rad[c] = rad[c] + jnp.where(active & em_hit,
-                                                    thr[c] * em[c], 0.0)
-                    active = active & ~em_hit
-
-                    key, sx, sy, sz, pdf = scatter(key, surf,
-                                                   -cdx, -cdy, -cdz)
-                    cos_t = jnp.maximum(sx * surf["nx"] + sy * surf["ny"]
-                                        + sz * surf["nz"], 0.0)
+                    key, sx, sy, sz, pdf = scatter(key, prim, -dx0, -dy0, -dz0)
+                    cos_t = jnp.maximum(sx * prim["nx"] + sy * prim["ny"]
+                                        + sz * prim["nz"], 0.0)
                     ok = pdf > 0.0
-                    f = _cook_torrance(surf["nx"], surf["ny"], surf["nz"],
-                                       -cdx, -cdy, -cdz, sx, sy, sz,
-                                       surf["alb"], surf["rough"],
-                                       surf["metal"])
+                    f = _cook_torrance(prim["nx"], prim["ny"], prim["nz"],
+                                       -dx0, -dy0, -dz0, sx, sy, sz,
+                                       prim["alb"], prim["rough"], prim["metal"])
                     scale = cos_t / jnp.where(ok, pdf, 1.0)
                     for c in range(3):
                         thr[c] = thr[c] * f[c] * scale
                     active = active & ok
-                    cox = cox + cdx * t
-                    coy = coy + cdy * t
-                    coz = coz + cdz * t
-                    return (key, active.astype(jnp.float32), tuple(thr),
-                            tuple(rad), cox, coy, coz, sx, sy, sz)
+                    cox, coy, coz = (jnp.zeros_like(sx) + hx0,
+                                     jnp.zeros_like(sx) + hy0,
+                                     jnp.zeros_like(sx) + hz0)
+                    cdx, cdy, cdz = sx, sy, sz
 
-                st = jax.lax.fori_loop(
-                    0, bounces, bounce_body,
-                    (key, active.astype(jnp.float32), tuple(thr), tuple(rad),
-                     cox, coy, coz, cdx, cdy, cdz), unroll=False)
-                return st[3]
+                    def bounce_body(_b, st):
+                        # the active mask rides the carry as f32 0/1 — i1
+                        # vector loop carries fail Mosaic's scf.for legalization
+                        (key, act_f, thr, rad, cox, coy, coz,
+                         cdx, cdy, cdz) = st
+                        active = act_f > 0.5
+                        rad = list(rad)
+                        thr = list(thr)
+                        t, hit, uu, vv, tri = trace(cox, coy, coz, cdx, cdy, cdz)
+                        surf = surf_lookup(tri, uu, vv, bounce=True)
+                        miss = ~hit
+                        for c in range(3):
+                            rad[c] = rad[c] + jnp.where(active & miss,
+                                                        thr[c] * sky[c], 0.0)
+                        active = active & hit
+                        em = surf["em"]
+                        em_hit = (em[0] * em[0] + em[1] * em[1]
+                                  + em[2] * em[2]) > 0.0
+                        for c in range(3):
+                            rad[c] = rad[c] + jnp.where(active & em_hit,
+                                                        thr[c] * em[c], 0.0)
+                        active = active & ~em_hit
 
-            rad0 = tuple(jnp.zeros((R, C), jnp.float32) for _ in range(3))
-            rad = jax.lax.fori_loop(0, samples, sample_body, rad0,
-                                    unroll=False)
-            inv_s = 1.0 / float(samples)
-            return tuple(acc[c] + jnp.sum(rad[c], axis=0, keepdims=True)
-                         * inv_s for c in range(3))
+                        key, sx, sy, sz, pdf = scatter(key, surf,
+                                                       -cdx, -cdy, -cdz)
+                        cos_t = jnp.maximum(sx * surf["nx"] + sy * surf["ny"]
+                                            + sz * surf["nz"], 0.0)
+                        ok = pdf > 0.0
+                        f = _cook_torrance(surf["nx"], surf["ny"], surf["nz"],
+                                           -cdx, -cdy, -cdz, sx, sy, sz,
+                                           surf["alb"], surf["rough"],
+                                           surf["metal"])
+                        scale = cos_t / jnp.where(ok, pdf, 1.0)
+                        for c in range(3):
+                            thr[c] = thr[c] * f[c] * scale
+                        active = active & ok
+                        cox = cox + cdx * t
+                        coy = coy + cdy * t
+                        coz = coz + cdz * t
+                        return (key, active.astype(jnp.float32), tuple(thr),
+                                tuple(rad), cox, coy, coz, sx, sy, sz)
 
-        def _nee_direct(key, surf, hx, hy, hz, vx, vy, vz, thr, rad, active,
-                        use_mis):
-            """One NEE direct-light sample + shadow ray (Renderer.cu:
-            1480-1541); returns (key, rad)."""
-            nx, ny, nz = surf["nx"], surf["ny"], surf["nz"]
-            key, u_pick = _next_uniform(key)
-            key, lu1 = _next_uniform(key)
-            key, lu2 = _next_uniform(key)
-            lt_tri, pmf = pick_light(u_pick, hx, hy, hz)
-            # light geometry feeds the shadow-ray identity check — the
-            # _LIGHT_ROWS are all in _A_EXACT, so this fetch is f32-exact
-            # (see build_rows_lookup precision note)
-            lat = tri_rows(lt_tri, _LIGHT_ROWS)
-            su = jnp.sqrt(lu1)
-            b1 = su * (1.0 - lu2)
-            b2 = su * lu2
-            ptx = lat[_A_P0] + lat[_A_E1] * b1 + lat[_A_E2] * b2
-            pty = lat[_A_P0 + 1] + lat[_A_E1 + 1] * b1 + lat[_A_E2 + 1] * b2
-            ptz = lat[_A_P0 + 2] + lat[_A_E1 + 2] * b1 + lat[_A_E2 + 2] * b2
-            lnx, lny, lnz = _norm3(lat[_A_NS], lat[_A_NS + 1],
-                                   lat[_A_NS + 2])
-            tlx, tly, tlz = ptx - hx, pty - hy, ptz - hz
-            dist = jnp.sqrt(jnp.maximum(
-                tlx * tlx + tly * tly + tlz * tlz, 1e-20))
-            ldx, ldy, ldz = tlx / dist, tly / dist, tlz / dist
+                    st = jax.lax.fori_loop(
+                        0, bounces, bounce_body,
+                        (key, active.astype(jnp.float32), tuple(thr), tuple(rad),
+                         cox, coy, coz, cdx, cdy, cdz), unroll=False)
+                    return st[3]
 
-            _, _, _, _, sh_tri = trace(hx + nx * 1e-12, hy + ny * 1e-12,
-                                       hz + nz * 1e-12, ldx, ldy, ldz)
-            visible = (sh_tri == lt_tri) & (lt_tri >= 0)
+                rad0 = tuple(jnp.zeros((R, C), jnp.float32) for _ in range(3))
+                rad = jax.lax.fori_loop(0, samples, sample_body, rad0,
+                                        unroll=False)
+                inv_s = 1.0 / float(samples)
+                return tuple(acc[c] + jnp.sum(rad[c], axis=0, keepdims=True)
+                             * inv_s for c in range(3))
 
-            fd = _cook_torrance(nx, ny, nz, vx, vy, vz, ldx, ldy, ldz,
-                                surf["alb"], surf["rough"], surf["metal"])
-            cos_x = jnp.maximum(ldx * nx + ldy * ny + ldz * nz, 0.0)
-            cos_y = jnp.maximum(-(ldx * lnx + ldy * lny + ldz * lnz), 1e-12)
-            area = jnp.maximum(lat[_A_AREA], 1e-20)
-            pdf_direct = pmf * (1.0 / area) * dist * dist / cos_y
-            if use_mis:
-                pdf_brdf_l = _mixture_pdf(nx, ny, nz, vx, vy, vz,
-                                          ldx, ldy, ldz, surf["alb"],
-                                          surf["rough"], surf["metal"])
-                w_direct = pdf_direct / jnp.maximum(
-                    pdf_brdf_l + pdf_direct, 1e-12)
-            else:
-                w_direct = jnp.ones_like(pdf_direct)
-            dscale = w_direct / jnp.maximum(pdf_direct, 1e-20) * cos_x
-            lane_ok = active & visible & (pmf > 0.0)
-            rad = tuple(
-                rad[c] + jnp.where(lane_ok,
-                                   thr[c] * dscale * fd[c]
-                                   * lat[_A_EMISSION + c], 0.0)
-                for c in range(3))
-            return key, rad
-
-        def nee_group(fi, acc):
-            """radiance_nee_mis parity (render/integrators.py)."""
-            frames = (frame_base + fi * R + sub).astype(jnp.uint32)
-            keyb = _fold(pix_key, frames)
-            single = bounces == 1
-            zR = jnp.zeros((R, C), jnp.float32)
-            prim_b = dict(
-                nx=zR + prim["nx"], ny=zR + prim["ny"], nz=zR + prim["nz"],
-                alb=tuple(zR + prim["alb"][c] for c in range(3)),
-                rough=zR + prim["rough"], metal=zR + prim["metal"])
-
-            def sample_body(s, rad):
-                key = _fold(keyb, s.astype(jnp.uint32))
-                key = _fold(key, _u32(0))
-
-                active = jnp.zeros((R, C), jnp.bool_) | path_lane
-                thr = tuple(jnp.ones((R, C), jnp.float32) for _ in range(3))
-                hx, hy, hz = zR + hx0, zR + hy0, zR + hz0
-                cdx, cdy, cdz = zR + dx0, zR + dy0, zR + dz0
-
-                if single:
-                    key, rad = _nee_direct(key, prim_b, hx, hy, hz,
-                                           -cdx, -cdy, -cdz, thr, rad,
-                                           active, use_mis=False)
-                    return rad
-
-                def bounce_body(_b, st):
-                    # f32 0/1 active mask: see hemisphere bounce_body
-                    (key, act_f, thr, rad, surf, hx, hy, hz,
-                     cdx, cdy, cdz) = st
-                    active = act_f > 0.5
-                    vx, vy, vz = -cdx, -cdy, -cdz
-                    nx, ny, nz = surf["nx"], surf["ny"], surf["nz"]
-                    key, rad = _nee_direct(key, surf, hx, hy, hz,
-                                           vx, vy, vz, thr, rad, active,
-                                           use_mis=True)
-
-                    # ---- BRDF continuation ---------------------------------
-                    key, sx, sy, sz, pdf_brdf = scatter(key, surf, vx, vy, vz)
-                    fc = _cook_torrance(nx, ny, nz, vx, vy, vz, sx, sy, sz,
-                                        surf["alb"], surf["rough"],
-                                        surf["metal"])
-                    cos_t = jnp.maximum(sx * nx + sy * ny + sz * nz, 0.0)
-                    ok = pdf_brdf > 0.0
-                    cscale = cos_t / jnp.maximum(pdf_brdf, 1e-12)
-                    thr = tuple(thr[c] * fc[c] * cscale for c in range(3))
-                    active = active & ok
-
-                    nox = hx + nx * 1e-12
-                    noy = hy + ny * 1e-12
-                    noz = hz + nz * 1e-12
-                    t, hit, uu, vv, tri = trace(nox, noy, noz, sx, sy, sz)
-                    surf2 = surf_lookup(tri, uu, vv, bounce=True)
-                    miss = ~hit
-                    rad = tuple(rad[c] + jnp.where(active & miss,
-                                                   thr[c] * sky[c], 0.0)
-                                for c in range(3))
-                    active = active & hit
-
-                    em = surf2["em"]
-                    em_hit = (em[0] * em[0] + em[1] * em[1]
-                              + em[2] * em[2]) > 0.0
-                    # MIS with light pdf at the ACTUAL hit point
-                    cos_y2 = jnp.maximum(
-                        -(sx * surf2["nx"] + sy * surf2["ny"]
-                          + sz * surf2["nz"]), 1e-12)
-                    area2 = jnp.maximum(surf2["area"], 1e-20)
-                    pmf2 = emitter_pmf(surf2["leaf"], hx, hy, hz)
-                    dist2 = jnp.maximum(t, 0.0)
-                    pdf_direct2 = pmf2 * (1.0 / area2) * dist2 * dist2 / cos_y2
-                    w_brdf = pdf_brdf / jnp.maximum(pdf_brdf + pdf_direct2,
-                                                    1e-12)
-                    rad = tuple(rad[c] + jnp.where(active & em_hit,
-                                                   thr[c] * em[c] * w_brdf,
-                                                   0.0)
-                                for c in range(3))
-                    active = active & ~em_hit
-
-                    surf = dict(nx=surf2["nx"], ny=surf2["ny"],
-                                nz=surf2["nz"], alb=surf2["alb"],
-                                rough=surf2["rough"], metal=surf2["metal"])
-                    return (key, active.astype(jnp.float32), thr, rad, surf,
-                            nox + sx * t, noy + sy * t, noz + sz * t,
-                            sx, sy, sz)
-
-                st = jax.lax.fori_loop(
-                    0, bounces, bounce_body,
-                    (key, active.astype(jnp.float32), thr, rad, prim_b,
-                     hx, hy, hz, cdx, cdy, cdz), unroll=False)
-                return st[3]
-
-            rad0 = tuple(jnp.zeros((R, C), jnp.float32) for _ in range(3))
-            rad = jax.lax.fori_loop(0, samples, sample_body, rad0,
-                                    unroll=False)
-            inv_s = 1.0 / float(samples)
-            return tuple(acc[c] + jnp.sum(rad[c], axis=0, keepdims=True)
-                         * inv_s for c in range(3))
-
-        def light_group(fi, acc):
-            """radiance_light_source parity (render/integrators.py:246-304;
-            PerPixel_LightSourceSampling, Renderer.cu:1287-1408): one-bounce
-            direct light only — emitter via light-tree descent, uniform
-            point on the triangle, area pdf with both geometry cosines,
-            visibility by shadow-trace identity check.  Shadow rays that
-            escape to the sky contribute ``contrib * sky``
-            (Renderer.cu:1388-1392 quirk, kept)."""
-            frames = (frame_base + fi * R + sub).astype(jnp.uint32)
-            keyb = _fold(pix_key, frames)
-            zR = jnp.zeros((R, C), jnp.float32)
-            nx, ny, nz = zR + prim["nx"], zR + prim["ny"], zR + prim["nz"]
-            alb = tuple(zR + prim["alb"][c] for c in range(3))
-            rough, metal = zR + prim["rough"], zR + prim["metal"]
-            hx, hy, hz = zR + hx0, zR + hy0, zR + hz0
-            vx, vy, vz = zR - dx0, zR - dy0, zR - dz0
-            active = jnp.zeros((R, C), jnp.bool_) | path_lane
-
-            def sample_body(s, rad):
-                key = _fold(keyb, s.astype(jnp.uint32))
-                key = _fold(key, _u32(0))
+            def _nee_direct(key, surf, hx, hy, hz, vx, vy, vz, thr, rad, active,
+                            use_mis):
+                """One NEE direct-light sample + shadow ray (Renderer.cu:
+                1480-1541); returns (key, rad)."""
+                nx, ny, nz = surf["nx"], surf["ny"], surf["nz"]
                 key, u_pick = _next_uniform(key)
                 key, lu1 = _next_uniform(key)
                 key, lu2 = _next_uniform(key)
                 lt_tri, pmf = pick_light(u_pick, hx, hy, hz)
-                lat = tri_rows(lt_tri, _LIGHT_ROWS)   # f32-exact (_A_EXACT)
+                # light geometry feeds the shadow-ray identity check — the
+                # _LIGHT_ROWS are all in _A_EXACT, so this fetch is f32-exact
+                # (see build_rows_lookup precision note)
+                lat = tri_rows(lt_tri, _LIGHT_ROWS)
                 su = jnp.sqrt(lu1)
                 b1 = su * (1.0 - lu2)
                 b2 = su * lu2
                 ptx = lat[_A_P0] + lat[_A_E1] * b1 + lat[_A_E2] * b2
-                pty = lat[_A_P0 + 1] + lat[_A_E1 + 1] * b1 \
-                    + lat[_A_E2 + 1] * b2
-                ptz = lat[_A_P0 + 2] + lat[_A_E1 + 2] * b1 \
-                    + lat[_A_E2 + 2] * b2
+                pty = lat[_A_P0 + 1] + lat[_A_E1 + 1] * b1 + lat[_A_E2 + 1] * b2
+                ptz = lat[_A_P0 + 2] + lat[_A_E1 + 2] * b1 + lat[_A_E2 + 2] * b2
                 lnx, lny, lnz = _norm3(lat[_A_NS], lat[_A_NS + 1],
                                        lat[_A_NS + 2])
                 tlx, tly, tlz = ptx - hx, pty - hy, ptz - hz
@@ -1963,51 +1820,223 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                     tlx * tlx + tly * tly + tlz * tlz, 1e-20))
                 ldx, ldy, ldz = tlx / dist, tly / dist, tlz / dist
 
-                _, sh_hit, _, _, sh_tri = trace(
-                    hx + nx * 1e-12, hy + ny * 1e-12, hz + nz * 1e-12,
-                    ldx, ldy, ldz)
+                _, _, _, _, sh_tri = trace(hx + nx * 1e-12, hy + ny * 1e-12,
+                                           hz + nz * 1e-12, ldx, ldy, ldz)
                 visible = (sh_tri == lt_tri) & (lt_tri >= 0)
 
                 fd = _cook_torrance(nx, ny, nz, vx, vy, vz, ldx, ldy, ldz,
-                                    alb, rough, metal)
+                                    surf["alb"], surf["rough"], surf["metal"])
                 cos_x = jnp.maximum(ldx * nx + ldy * ny + ldz * nz, 0.0)
-                cos_y = jnp.maximum(-(ldx * lnx + ldy * lny + ldz * lnz),
-                                    0.0)
-                pdf = pmf * (1.0 / jnp.maximum(lat[_A_AREA], 1e-20)) \
-                    * dist * dist
-                gscale = cos_x * cos_y / jnp.maximum(pdf, 1e-20)
+                cos_y = jnp.maximum(-(ldx * lnx + ldy * lny + ldz * lnz), 1e-12)
+                area = jnp.maximum(lat[_A_AREA], 1e-20)
+                pdf_direct = pmf * (1.0 / area) * dist * dist / cos_y
+                if use_mis:
+                    pdf_brdf_l = _mixture_pdf(nx, ny, nz, vx, vy, vz,
+                                              ldx, ldy, ldz, surf["alb"],
+                                              surf["rough"], surf["metal"])
+                    w_direct = pdf_direct / jnp.maximum(
+                        pdf_brdf_l + pdf_direct, 1e-12)
+                else:
+                    w_direct = jnp.ones_like(pdf_direct)
+                dscale = w_direct / jnp.maximum(pdf_direct, 1e-20) * cos_x
                 lane_ok = active & visible & (pmf > 0.0)
-                sky_lane = active & ~sh_hit
-                return tuple(
-                    rad[c]
-                    + jnp.where(lane_ok,
-                                gscale * fd[c] * lat[_A_EMISSION + c], 0.0)
-                    + jnp.where(sky_lane, gscale * fd[c] * sky[c], 0.0)
+                rad = tuple(
+                    rad[c] + jnp.where(lane_ok,
+                                       thr[c] * dscale * fd[c]
+                                       * lat[_A_EMISSION + c], 0.0)
                     for c in range(3))
+                return key, rad
 
-            rad0 = tuple(jnp.zeros((R, C), jnp.float32) for _ in range(3))
-            rad = jax.lax.fori_loop(0, samples, sample_body, rad0,
-                                    unroll=False)
-            inv_s = 1.0 / float(samples)
-            return tuple(acc[c] + jnp.sum(rad[c], axis=0, keepdims=True)
-                         * inv_s for c in range(3))
+            def nee_group(fi, acc):
+                """radiance_nee_mis parity (render/integrators.py)."""
+                frames = (frame_base + fi * R + sub).astype(jnp.uint32)
+                keyb = _fold(pix_key, frames)
+                single = bounces == 1
+                zR = jnp.zeros((R, C), jnp.float32)
+                prim_b = dict(
+                    nx=zR + prim["nx"], ny=zR + prim["ny"], nz=zR + prim["nz"],
+                    alb=tuple(zR + prim["alb"][c] for c in range(3)),
+                    rough=zR + prim["rough"], metal=zR + prim["metal"])
 
-        group_fn = nee_group if nee else (
-            light_group if light else hemisphere_group)
+                def sample_body(s, rad):
+                    key = _fold(keyb, s.astype(jnp.uint32))
+                    key = _fold(key, _u32(0))
 
-        acc0 = (jnp.zeros((1, C), jnp.float32),) * 3
-        accs = jax.lax.fori_loop(0, n_frames // R, group_fn, acc0)
-        nf = float(n_frames)
-        rows = []
-        for c in range(3):
-            r = jnp.where(hit0, accs[c], nf * sky[c])
-            rows.append(jnp.where(prim_emissive, nf * em0[c], r))
-        # the (8, C) output block keeps sublane tiling aligned (Mosaic
-        # requires 8-divisible block rows); rows 3:8 are dead padding
-        out_ref[:] = jnp.concatenate(
-            rows + [jnp.zeros((5, C), jnp.float32)], axis=0)
+                    active = jnp.zeros((R, C), jnp.bool_) | path_lane
+                    thr = tuple(jnp.ones((R, C), jnp.float32) for _ in range(3))
+                    hx, hy, hz = zR + hx0, zR + hy0, zR + hz0
+                    cdx, cdy, cdz = zR + dx0, zR + dy0, zR + dz0
 
-    grid = (B // C,)
+                    if single:
+                        key, rad = _nee_direct(key, prim_b, hx, hy, hz,
+                                               -cdx, -cdy, -cdz, thr, rad,
+                                               active, use_mis=False)
+                        return rad
+
+                    def bounce_body(_b, st):
+                        # f32 0/1 active mask: see hemisphere bounce_body
+                        (key, act_f, thr, rad, surf, hx, hy, hz,
+                         cdx, cdy, cdz) = st
+                        active = act_f > 0.5
+                        vx, vy, vz = -cdx, -cdy, -cdz
+                        nx, ny, nz = surf["nx"], surf["ny"], surf["nz"]
+                        key, rad = _nee_direct(key, surf, hx, hy, hz,
+                                               vx, vy, vz, thr, rad, active,
+                                               use_mis=True)
+
+                        # ---- BRDF continuation ---------------------------------
+                        key, sx, sy, sz, pdf_brdf = scatter(key, surf, vx, vy, vz)
+                        fc = _cook_torrance(nx, ny, nz, vx, vy, vz, sx, sy, sz,
+                                            surf["alb"], surf["rough"],
+                                            surf["metal"])
+                        cos_t = jnp.maximum(sx * nx + sy * ny + sz * nz, 0.0)
+                        ok = pdf_brdf > 0.0
+                        cscale = cos_t / jnp.maximum(pdf_brdf, 1e-12)
+                        thr = tuple(thr[c] * fc[c] * cscale for c in range(3))
+                        active = active & ok
+
+                        nox = hx + nx * 1e-12
+                        noy = hy + ny * 1e-12
+                        noz = hz + nz * 1e-12
+                        t, hit, uu, vv, tri = trace(nox, noy, noz, sx, sy, sz)
+                        surf2 = surf_lookup(tri, uu, vv, bounce=True)
+                        miss = ~hit
+                        rad = tuple(rad[c] + jnp.where(active & miss,
+                                                       thr[c] * sky[c], 0.0)
+                                    for c in range(3))
+                        active = active & hit
+
+                        em = surf2["em"]
+                        em_hit = (em[0] * em[0] + em[1] * em[1]
+                                  + em[2] * em[2]) > 0.0
+                        # MIS with light pdf at the ACTUAL hit point
+                        cos_y2 = jnp.maximum(
+                            -(sx * surf2["nx"] + sy * surf2["ny"]
+                              + sz * surf2["nz"]), 1e-12)
+                        area2 = jnp.maximum(surf2["area"], 1e-20)
+                        pmf2 = emitter_pmf(surf2["leaf"], hx, hy, hz)
+                        dist2 = jnp.maximum(t, 0.0)
+                        pdf_direct2 = pmf2 * (1.0 / area2) * dist2 * dist2 / cos_y2
+                        w_brdf = pdf_brdf / jnp.maximum(pdf_brdf + pdf_direct2,
+                                                        1e-12)
+                        rad = tuple(rad[c] + jnp.where(active & em_hit,
+                                                       thr[c] * em[c] * w_brdf,
+                                                       0.0)
+                                    for c in range(3))
+                        active = active & ~em_hit
+
+                        surf = dict(nx=surf2["nx"], ny=surf2["ny"],
+                                    nz=surf2["nz"], alb=surf2["alb"],
+                                    rough=surf2["rough"], metal=surf2["metal"])
+                        return (key, active.astype(jnp.float32), thr, rad, surf,
+                                nox + sx * t, noy + sy * t, noz + sz * t,
+                                sx, sy, sz)
+
+                    st = jax.lax.fori_loop(
+                        0, bounces, bounce_body,
+                        (key, active.astype(jnp.float32), thr, rad, prim_b,
+                         hx, hy, hz, cdx, cdy, cdz), unroll=False)
+                    return st[3]
+
+                rad0 = tuple(jnp.zeros((R, C), jnp.float32) for _ in range(3))
+                rad = jax.lax.fori_loop(0, samples, sample_body, rad0,
+                                        unroll=False)
+                inv_s = 1.0 / float(samples)
+                return tuple(acc[c] + jnp.sum(rad[c], axis=0, keepdims=True)
+                             * inv_s for c in range(3))
+
+            def light_group(fi, acc):
+                """radiance_light_source parity (render/integrators.py:246-304;
+                PerPixel_LightSourceSampling, Renderer.cu:1287-1408): one-bounce
+                direct light only — emitter via light-tree descent, uniform
+                point on the triangle, area pdf with both geometry cosines,
+                visibility by shadow-trace identity check.  Shadow rays that
+                escape to the sky contribute ``contrib * sky``
+                (Renderer.cu:1388-1392 quirk, kept)."""
+                frames = (frame_base + fi * R + sub).astype(jnp.uint32)
+                keyb = _fold(pix_key, frames)
+                zR = jnp.zeros((R, C), jnp.float32)
+                nx, ny, nz = zR + prim["nx"], zR + prim["ny"], zR + prim["nz"]
+                alb = tuple(zR + prim["alb"][c] for c in range(3))
+                rough, metal = zR + prim["rough"], zR + prim["metal"]
+                hx, hy, hz = zR + hx0, zR + hy0, zR + hz0
+                vx, vy, vz = zR - dx0, zR - dy0, zR - dz0
+                active = jnp.zeros((R, C), jnp.bool_) | path_lane
+
+                def sample_body(s, rad):
+                    key = _fold(keyb, s.astype(jnp.uint32))
+                    key = _fold(key, _u32(0))
+                    key, u_pick = _next_uniform(key)
+                    key, lu1 = _next_uniform(key)
+                    key, lu2 = _next_uniform(key)
+                    lt_tri, pmf = pick_light(u_pick, hx, hy, hz)
+                    lat = tri_rows(lt_tri, _LIGHT_ROWS)   # f32-exact (_A_EXACT)
+                    su = jnp.sqrt(lu1)
+                    b1 = su * (1.0 - lu2)
+                    b2 = su * lu2
+                    ptx = lat[_A_P0] + lat[_A_E1] * b1 + lat[_A_E2] * b2
+                    pty = lat[_A_P0 + 1] + lat[_A_E1 + 1] * b1 \
+                        + lat[_A_E2 + 1] * b2
+                    ptz = lat[_A_P0 + 2] + lat[_A_E1 + 2] * b1 \
+                        + lat[_A_E2 + 2] * b2
+                    lnx, lny, lnz = _norm3(lat[_A_NS], lat[_A_NS + 1],
+                                           lat[_A_NS + 2])
+                    tlx, tly, tlz = ptx - hx, pty - hy, ptz - hz
+                    dist = jnp.sqrt(jnp.maximum(
+                        tlx * tlx + tly * tly + tlz * tlz, 1e-20))
+                    ldx, ldy, ldz = tlx / dist, tly / dist, tlz / dist
+
+                    _, sh_hit, _, _, sh_tri = trace(
+                        hx + nx * 1e-12, hy + ny * 1e-12, hz + nz * 1e-12,
+                        ldx, ldy, ldz)
+                    visible = (sh_tri == lt_tri) & (lt_tri >= 0)
+
+                    fd = _cook_torrance(nx, ny, nz, vx, vy, vz, ldx, ldy, ldz,
+                                        alb, rough, metal)
+                    cos_x = jnp.maximum(ldx * nx + ldy * ny + ldz * nz, 0.0)
+                    cos_y = jnp.maximum(-(ldx * lnx + ldy * lny + ldz * lnz),
+                                        0.0)
+                    pdf = pmf * (1.0 / jnp.maximum(lat[_A_AREA], 1e-20)) \
+                        * dist * dist
+                    gscale = cos_x * cos_y / jnp.maximum(pdf, 1e-20)
+                    lane_ok = active & visible & (pmf > 0.0)
+                    sky_lane = active & ~sh_hit
+                    return tuple(
+                        rad[c]
+                        + jnp.where(lane_ok,
+                                    gscale * fd[c] * lat[_A_EMISSION + c], 0.0)
+                        + jnp.where(sky_lane, gscale * fd[c] * sky[c], 0.0)
+                        for c in range(3))
+
+                rad0 = tuple(jnp.zeros((R, C), jnp.float32) for _ in range(3))
+                rad = jax.lax.fori_loop(0, samples, sample_body, rad0,
+                                        unroll=False)
+                inv_s = 1.0 / float(samples)
+                return tuple(acc[c] + jnp.sum(rad[c], axis=0, keepdims=True)
+                             * inv_s for c in range(3))
+
+            group_fn = nee_group if nee else (
+                light_group if light else hemisphere_group)
+
+            acc0 = (jnp.zeros((1, C), jnp.float32),) * 3
+            accs = jax.lax.fori_loop(0, n_frames // R, group_fn, acc0)
+            nf = float(n_frames)
+            rows = []
+            for c in range(3):
+                r = jnp.where(hit0, accs[c], nf * sky[c])
+                rows.append(jnp.where(prim_emissive, nf * em0[c], r))
+            # the (8, C) output block keeps sublane tiling aligned (Mosaic
+            # requires 8-divisible block rows); rows 3:8 are dead padding
+            out_ref[pl.ds(rg * 8, 8), :] = jnp.concatenate(
+                rows + [jnp.zeros((5, C), jnp.float32)], axis=0)
+            return 0
+
+        if RG == 1:
+            rg_body(0, 0)
+        else:
+            jax.lax.fori_loop(0, RG, rg_body, 0, unroll=False)
+
+    grid = (B // (C * RG),)
     full = lambda i: (0, 0)
 
     table_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_tables
@@ -2095,7 +2124,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
             kernel,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((8, C), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((8 * RG, C), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((8 * (B // C), C), jnp.float32),
             scratch_shapes=scratch_shapes,
