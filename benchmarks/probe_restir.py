@@ -22,8 +22,14 @@ def main():
     from fypraytracer_tpu.render.megakernel_restir_gi import MegakernelReSTIRGI
     from fypraytracer_tpu.scene.procedural import cornell_box
 
-    builder, cam = cornell_box(width=256, height=256)
+    res_arg = os.environ.get("PROBE_RES", "256")
+    if "x" in res_arg:
+        res_w, res_h = (int(v) for v in res_arg.split("x"))
+    else:
+        res_w = res_h = int(res_arg)
+    builder, cam = cornell_box(width=res_w, height=res_h)
     scene = builder.compile()
+    print(f"res={res_w}x{res_h}", flush=True)
     spatial = os.environ.get("PROBE_SPATIAL", "1") == "1"
     temporal = os.environ.get("PROBE_TEMPORAL", "1") == "1"
     bounces = int(os.environ.get("PROBE_BOUNCES", "2"))

@@ -52,13 +52,15 @@ def main():
     lanes = int(os.environ.get("PROBE_LANES", "0")) \
         or MK._pick_ray_lanes(res_w * res_h)
     rg_env = os.environ.get("PROBE_RG")
+    ch_env = os.environ.get("PROBE_CH")
     render = MK.make_megakernel(
         res_w, res_h, bounces=2, samples=1, sky_color=(0.05, 0.06, 0.08),
         n_frames=frames, n_tris=T, sampler=sampler,
         n_light_nodes=L.shape[1], light_depth=depth, frame_group=8,
         ray_lanes=lanes, tex_shapes=tex_shapes,
         cull=cull, sparse=sparse,
-        row_groups=int(rg_env) if rg_env else None)
+        row_groups=int(rg_env) if rg_env else None,
+        chunk_rows=int(ch_env) if ch_env else None)
     cam_mats = jnp.concatenate([jnp.asarray(cam.inv_projection),
                                 jnp.asarray(cam.inv_view)], axis=0)
     frame0 = jnp.asarray([[1]], jnp.int32)

@@ -1466,6 +1466,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                     tex_shapes=None, cull: bool | None = None,
                     sparse: bool = False, hbm_tables: bool | None = None,
                     row_groups: int | None = None,
+                    chunk_rows: int | None = None,
                     interpret: bool = False):
     """Build the jitted megakernel renderer for a fixed configuration.
 
@@ -1526,6 +1527,26 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         RG = row_groups
     assert S % RG == 0, (S, RG)
 
+    # Chunked dispatch (PERF.md #26): per-unit-work cost of ONE launch
+    # cliffs ~4-7x once the launch covers more than ~128 ray rows —
+    # measured to track LAUNCH SIZE, not grid length (RG=1/16/30 at 1080p
+    # all 210 ms/frame) and not the frame loop, lanes, or the scoped-VMEM
+    # budget.  So a big frame is rendered as S//CH sequential sub-launches
+    # of CH<=144 rows, all sharing ONE compiled kernel via an SMEM pixel
+    # offset (lax.map over the chunk index).  Bit-identical to the
+    # monolithic launch (per-pixel accumulation is chunk-local).
+    if chunk_rows is None:
+        CH = 0
+        if S > 144:
+            for d in range(64, 145):
+                if S % d == 0:
+                    CH = d
+    else:
+        CH = chunk_rows
+    if CH:
+        assert S % CH == 0, (S, CH)
+        RG = 1
+
     RS = 8           # scratch row geometry (one full sublane tile), ≥ R
     assert 1 <= R <= RS, (
         f"frame_group={R} exceeds the {RS}-row rotating scratch blocks; "
@@ -1536,6 +1557,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         refs = list(refs)
         cam_ref = refs.pop(0)
         frame_ref = refs.pop(0)
+        pix0_ref = refs.pop(0) if CH else None
         p_ref = refs.pop(0)
         a_ref = refs.pop(0)
         l_ref = refs.pop(0) if use_lt else None
@@ -1693,6 +1715,8 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         # RG == 1 inlines the body so small-grid kernels are unchanged.
         def rg_body(rg, _):
             pix = (tile * RG + rg) * C + lane      # (1, C) int32
+            if CH:
+                pix = pix + pix0_ref[0, 0]         # chunk pixel offset
             ox0, oy0, oz0, dx0, dy0, dz0 = raygen(pix)
             # ---- hoisted primary hit (camera static within a dispatch) --------
             t0, hit0, u0, v0, tri0 = trace(ox0, oy0, oz0, dx0, dy0, dz0)  # (1, C)
@@ -2036,7 +2060,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         else:
             jax.lax.fori_loop(0, RG, rg_body, 0, unroll=False)
 
-    grid = (B // (C * RG),)
+    grid = ((CH,) if CH else (B // (C * RG),))
     full = lambda i: (0, 0)
 
     table_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_tables
@@ -2044,6 +2068,8 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
     in_specs = [
         pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
+    ] + ([pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM)]
+         if CH else []) + [
         table_spec or pl.BlockSpec((T, 16), full,
                                    memory_space=pltpu.VMEM),
         table_spec or pl.BlockSpec((_A_ROWS_TOT, T), full,
@@ -2120,16 +2146,35 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
             if TB.shape[1] < NT:
                 TB = jnp.pad(TB, ((0, 0), (0, NT - TB.shape[1])))
             args.append(TB)
-        out = pl.pallas_call(
+        # Mosaic's default scoped-VMEM budget is ~16 MB on v5e (128 MB
+        # physical); FYP_MK_VMEM_MB raises it (perf experiments for the
+        # large-B slowdown, PERF.md #25/#26).
+        vmem_mb = int(os.environ.get("FYP_MK_VMEM_MB", "0"))
+        cparams = (pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024) if vmem_mb else None)
+        rows_out = CH if CH else B // C
+        call = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec((8 * RG, C), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((8 * (B // C), C), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((8 * rows_out, C), jnp.float32),
             scratch_shapes=scratch_shapes,
+            compiler_params=cparams,
             interpret=interpret,
-        )(*args)
+        )
+        if CH:
+            tail = args[2:]
+
+            def one_chunk(c):
+                pix0 = (c * (CH * C)).reshape(1, 1).astype(jnp.int32)
+                return call(args[0], args[1], pix0, *tail)
+
+            out = jax.lax.map(one_chunk, jnp.arange(S // CH))
+            out = out.reshape(8 * S, C)
+        else:
+            out = call(*args)
         out = out.reshape(B // C, 8, C)[:, :3, :]
         return out.transpose(0, 2, 1).reshape(B, 3)
 
