@@ -27,29 +27,40 @@ def main():
     from fypraytracer_tpu.render import megakernel as MK
     from fypraytracer_tpu.scene.sceneio import builtin_scene
 
-    builder, cam = builtin_scene("cornell", res_w, res_h)
+    scene_name = os.environ.get("PROBE_SCENE", "cornell")
+    builder, cam = builtin_scene(scene_name, res_w, res_h)
     scene = builder.compile()
     T = scene.geometry.tri_v.shape[0]
     mscene, _ = MK.morton_permuted_scene(scene)
+    taabb = MK.prepare_tile_aabbs(mscene, MK.TRI_TILE)
     dscene = jax.tree_util.tree_map(jnp.asarray, mscene)
     P, AT = MK.prepare_scene_tables(dscene)
     L, depth = MK.prepare_light_table(dscene)
+    tex_on = MK.scene_is_textured(scene)
+    txp = txb = tex_shapes = None
+    if tex_on:
+        txp, txb, tex_shapes = MK.prepare_texture_tables(scene.textures)
+    cull = T // MK.TRI_TILE >= 8
     cam_mats = jnp.concatenate([jnp.asarray(cam.inv_projection),
                                 jnp.asarray(cam.inv_view)], axis=0)
     frame0 = jnp.asarray([[1]], jnp.int32)
     fence = jax.jit(lambda x: x.ravel()[0])
+    kw = dict(L=L, TXP=txp, TXB=txb)
+    if cull:
+        kw["TAABB"] = taabb
 
     for frames in frames_list:
         render = MK.make_megakernel(
             res_w, res_h, bounces=2, samples=1,
             sky_color=(0.05, 0.06, 0.08), n_frames=frames, n_tris=T,
             sampler="nee", n_light_nodes=L.shape[1], light_depth=depth,
-            frame_group=8, ray_lanes=512)
-        out = render(cam_mats, P, AT, frame0, L=L)
+            frame_group=min(8, frames), ray_lanes=512,
+            tex_shapes=tex_shapes, cull=cull)
+        out = render(cam_mats, P, AT, frame0, **kw)
         float(fence(out))                      # compile + warm
         for rep in range(reps):
             t0 = time.perf_counter()
-            out = render(cam_mats, P, AT, frame0, L=L)
+            out = render(cam_mats, P, AT, frame0, **kw)
             float(fence(out))
             dt = time.perf_counter() - t0 - 0.4
             print(f"res={res_w}x{res_h} frames={frames} rep={rep} "
