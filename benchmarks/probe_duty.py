@@ -62,9 +62,17 @@ def main():
             t0 = time.perf_counter()
             out = render(cam_mats, P, AT, frame0, **kw)
             float(fence(out))
-            dt = time.perf_counter() - t0 - 0.4
+            wall = time.perf_counter() - t0
+            # per-run host/tunnel overhead: an empty fenced dispatch
+            # (replaces the old baked-in 0.4 s constant, ADVICE r3 —
+            # short dispatches could print negative "totals")
+            t0 = time.perf_counter()
+            float(fence(frame0))
+            host = time.perf_counter() - t0
+            dev = max(wall - host, 0.0)
             print(f"res={res_w}x{res_h} frames={frames} rep={rep} "
-                  f"total={dt*1000:.1f} ms  {dt*1000/frames:.3f} ms/frame",
+                  f"wall={wall*1000:.1f} ms  host_fence={host*1000:.1f} ms "
+                  f"device~{dev*1000:.1f} ms  {dev*1000/frames:.3f} ms/frame",
                   flush=True)
 
 

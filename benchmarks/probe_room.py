@@ -73,13 +73,21 @@ def main():
           f"tiles={taabb.shape[0]} cull={cull} sparse={sparse} "
           f"tex={tex_on} res={res_w}x{res_h} lanes={lanes} "
           f"first={v:.4f} wall={t1 - t0:.1f}s", flush=True)
+    fence = jax.jit(lambda x: x.ravel()[0])
     t0 = time.perf_counter()
     out = render(cam_mats, P, AT, frame0, **kw)
-    float(jax.jit(lambda x: x.ravel()[0])(out))
-    dt = time.perf_counter() - t0 - 0.4
+    float(fence(out))
+    wall = time.perf_counter() - t0
+    # per-run host/tunnel overhead measured with an empty fenced dispatch
+    # (not the old baked-in 0.4 s constant, ADVICE r3)
+    t0 = time.perf_counter()
+    float(fence(frame0))
+    host = time.perf_counter() - t0
+    dt = max(wall - host, 0.0)
     rays = res_w * res_h * (1 + 2 * 2) if sampler == "nee" \
         else res_w * res_h * 3
-    print(f"steady: {dt*1000:.1f} ms total, {dt*1000/frames:.2f} ms/frame, "
+    print(f"steady: wall={wall*1000:.1f} ms, host_fence={host*1000:.1f} ms, "
+          f"device~{dt*1000:.1f} ms, {dt*1000/frames:.2f} ms/frame, "
           f"{rays / (dt / frames) / 1e6:.1f} M rays/s", flush=True)
 
 

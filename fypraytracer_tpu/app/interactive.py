@@ -18,6 +18,8 @@ Commands::
     fly <fwd> <right> <up> [yaw pitch]   incremental camera motion
     mat <id> albedo r g b | roughness v | metallic v | emission r g b pow
     mesh <id> position x y z | rotation x y z | scale x y z
+    load <path.obj> [mat] [x y z [sx sy sz [rx ry rz]]]   add mesh mid-session
+    add-sphere [mat] [radius] [x y z]                     procedural UV sphere
     step [n]                    render n frames (default 1), print stats
     save <path>                 save current average (PNG or BMP)
     info                        scene/camera/settings summary
@@ -132,6 +134,34 @@ class InteractiveSession:
         vals = [float(v) for v in vals]
         kw = {field: tuple(vals)}
         self.manager.set_mesh_transform(int(mid), **kw)
+
+    def cmd_load(self, path, mat="0", *vals):
+        """Add a mesh from an OBJ file mid-session — the reference's
+        runtime import (WalnutApp.cpp:742 file dialog →
+        Scene::CreateNewMeshInScene, Scene.cpp:241-290); structures are
+        rebuilt at the next `step` via SceneManager.apply."""
+        vals = [float(v) for v in vals]
+        kw = {}
+        if len(vals) >= 3:
+            kw["position"] = tuple(vals[0:3])
+        if len(vals) >= 6:
+            kw["scale"] = tuple(vals[3:6])
+        if len(vals) >= 9:
+            kw["rotation"] = tuple(vals[6:9])
+        mesh_id = self.manager.load_mesh(path, material=int(mat), **kw)
+        self._emit(loaded=path, mesh_id=mesh_id,
+                   triangles=int(len(self.manager.builder.meshes[mesh_id].tri_v)))
+
+    def cmd_add_sphere(self, mat="0", radius="0.5", *vals):
+        """Procedural UV sphere (Mesh::GenerateSphereMesh, Mesh.cpp:7-95)."""
+        from fypraytracer_tpu.scene.procedural import uv_sphere
+
+        pos = tuple(float(v) for v in vals[:3]) if len(vals) >= 3 \
+            else (0.0, 0.0, 0.0)
+        p, t, n, u = uv_sphere(float(radius))
+        mesh_id = self.manager.add_mesh(p, t, normals=n, uvs=u,
+                                        material=int(mat), position=pos)
+        self._emit(mesh_id=mesh_id, triangles=int(len(t)))
 
     def cmd_step(self, n="1"):
         if self.manager.dirty:

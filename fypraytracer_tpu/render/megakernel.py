@@ -1527,17 +1527,21 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         RG = row_groups
     assert S % RG == 0, (S, RG)
 
-    # Chunked dispatch (PERF.md #26): per-unit-work cost of ONE launch
-    # cliffs ~4-7x once the launch covers more than ~128 ray rows —
-    # measured to track LAUNCH SIZE, not grid length (RG=1/16/30 at 1080p
-    # all 210 ms/frame) and not the frame loop, lanes, or the scoped-VMEM
-    # budget.  So a big frame is rendered as S//CH sequential sub-launches
-    # of CH<=144 rows, all sharing ONE compiled kernel via an SMEM pixel
-    # offset (lax.map over the chunk index).  Bit-identical to the
-    # monolithic launch (per-pixel accumulation is chunk-local).
+    # Chunked dispatch: a big frame rendered as S//CH sequential
+    # sub-launches of CH<=144 rows inside lax.map, all sharing ONE
+    # compiled kernel via an SMEM pixel offset.  Bit-identical to the
+    # monolithic launch (per-pixel accumulation is chunk-local).  The
+    # benefit is NOT throughput — PERF.md #26(c) measured zero effect;
+    # the large-frame slowdown is runtime sustained-rate throttling —
+    # but WATCHDOG SAFETY: each pallas_call's device time stays bounded,
+    # so very long launches (the stress scene's ~45 s single kernel,
+    # PERF.md #24) can't trip the runtime's single-op limit.
+    # Auto-chunking only engages when row_groups was not explicitly
+    # requested: CH forces RG=1 (each sub-launch IS a row group), which
+    # would silently discard an explicit row_groups (ADVICE r3).
     if chunk_rows is None:
         CH = 0
-        if S > 144:
+        if S > 144 and row_groups is None:
             for d in range(64, 145):
                 if S % d == 0:
                     CH = d
@@ -1545,6 +1549,10 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         CH = chunk_rows
     if CH:
         assert S % CH == 0, (S, CH)
+        if row_groups is not None and row_groups != 1:
+            raise ValueError(
+                f"chunk_rows={CH} forces row_groups=1 but row_groups="
+                f"{row_groups} was explicitly requested — pass only one")
         RG = 1
 
     RS = 8           # scratch row geometry (one full sublane tile), ≥ R
@@ -2199,6 +2207,42 @@ def _pick_frame_group(n_frames: int) -> int:
     return 1
 
 
+def estimate_frame_ms(num_pixels: int, ray_lanes: int, n_tris: int,
+                      tri_tile: int = TRI_TILE) -> float:
+    """Crude per-frame device-time model for dispatch planning: the trace
+    sweep dominates, at ~2 µs per (ray row × triangle tile) iteration.
+    Calibrated against measured burst numbers (BASELINE.md round 3):
+    cornell 256² ≈ 1 ms, room 256² ≈ 5, cornell 1080p ≈ 32, stress 256²
+    ≈ 190.  Only used to bound frames-per-dispatch — a 2× error is
+    harmless (the watchdog budget has ~5× headroom)."""
+    s_rows = max(num_pixels // ray_lanes, 1)
+    t_pad = n_tris + ((-n_tris) % tri_tile)
+    return 0.002 * s_rows * max(t_pad // tri_tile, 1)
+
+
+def plan_dispatch_frames(n_frames: int, est_ms_per_frame: float,
+                         budget_ms: float = 8000.0) -> list:
+    """Split an ``n_frames`` accumulation into dispatch-sized chunks whose
+    ESTIMATED device time stays well under the runtime's single-dispatch
+    watchdog (a ~45 s stress-scene dispatch crashed the TPU worker after a
+    successful compile, PERF.md #24 / VERDICT r3 weak #4).  Returns chunk
+    sizes summing to ``n_frames``; prefers one chunk size that divides
+    ``n_frames`` (one compiled kernel) and keeps chunks multiples of 8
+    (full sublane occupancy), falling back to uniform chunks + remainder."""
+    if n_frames * est_ms_per_frame <= budget_ms:
+        return [n_frames]
+    f_max = max(int(budget_ms / est_ms_per_frame), 1)
+    if f_max >= 8:
+        f_max -= f_max % 8
+        for f in range(f_max, 7, -8):
+            if n_frames % f == 0:
+                return [f] * (n_frames // f)
+    chunks = [f_max] * (n_frames // f_max)
+    if n_frames % f_max:
+        chunks.append(n_frames % f_max)
+    return chunks
+
+
 def scene_is_textured(scene: Scene) -> bool:
     """True when any material actually references an atlas page."""
     amap = np.asarray(scene.materials.albedo_map)
@@ -2236,6 +2280,14 @@ class MegakernelRenderer:
         self.taabb = prepare_tile_aabbs(mscene, TRI_TILE)
         dscene = jax.tree_util.tree_map(jnp.asarray, mscene)
         self.tables = prepare_scene_tables(dscene)
+        # big scenes: dense VMEM tables don't fit past ~32k tris — switch
+        # to the sparse trace + HBM-resident tables (make_megakernel's
+        # hbm_tables threshold) so e.g. the 200k-tri stress scene renders
+        # through the product path, not just the probes (VERDICT r3 #4)
+        n_tris = scene.geometry.tri_v.shape[0]
+        self.sparse = n_tris + ((-n_tris) % TRI_TILE) >= 32768
+        self.tbox = (prepare_tile_boxes_lanes(mscene, TRI_TILE)
+                     if self.sparse else None)
         self.sampler = self.SAMPLER_OF[int(settings.technique)]
         self.light_table, self.light_depth = prepare_light_table(dscene)
         self.tex_tables = self.tex_shapes = None
@@ -2260,22 +2312,33 @@ class MegakernelRenderer:
                 frame_group=_pick_frame_group(n_frames),
                 ray_lanes=_pick_ray_lanes(
                     self.camera.width * self.camera.height),
-                tex_shapes=self.tex_shapes,
+                tex_shapes=self.tex_shapes, sparse=self.sparse,
                 interpret=self.interpret)
         return self._render_cache[key]
+
+    def dispatch_plan(self, n_frames: int) -> list:
+        """Frames-per-dispatch plan for ``render_many`` — bounded by the
+        estimated per-dispatch device time so no frame budget can trip
+        the runtime's single-dispatch watchdog (PERF.md #24)."""
+        est = estimate_frame_ms(
+            self.camera.width * self.camera.height,
+            _pick_ray_lanes(self.camera.width * self.camera.height),
+            self.scene.geometry.tri_v.shape[0])
+        return plan_dispatch_frames(n_frames, est)
 
     def render_many(self, n_frames: int):
         cam_mats = jnp.concatenate([
             jnp.asarray(self.camera.inv_projection),
             jnp.asarray(self.camera.inv_view)], axis=0)
-        frame0 = jnp.asarray([[self.frame_index]], jnp.int32)
         P, AT = self.tables
         txp, txb = self.tex_tables if self.tex_tables else (None, None)
-        summed = self._renderer(n_frames)(cam_mats, P, AT, frame0,
-                                          L=self.light_table,
-                                          TXP=txp, TXB=txb,
-                                          TAABB=self.taabb)
-        self.accum = self.accum + summed
-        self.frame_index += n_frames
+        for f in self.dispatch_plan(n_frames):
+            frame0 = jnp.asarray([[self.frame_index]], jnp.int32)
+            summed = self._renderer(f)(cam_mats, P, AT, frame0,
+                                       L=self.light_table,
+                                       TXP=txp, TXB=txb,
+                                       TAABB=self.taabb, TBOX=self.tbox)
+            self.accum = self.accum + summed
+            self.frame_index += f
         h, w = self.camera.height, self.camera.width
         return (self.accum / jnp.float32(self.frame_index - 1)).reshape(h, w, 3)

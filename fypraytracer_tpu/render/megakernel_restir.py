@@ -722,17 +722,30 @@ class MegakernelReSTIRDI:
                 interpret=self.interpret)
         return self._cache[n_frames]
 
+    def dispatch_plan(self, n_frames) -> list:
+        """Frames-per-dispatch plan bounded by estimated device time so no
+        frame budget trips the runtime watchdog (PERF.md #24)."""
+        from fypraytracer_tpu.render.megakernel import (
+            estimate_frame_ms, plan_dispatch_frames)
+
+        est = estimate_frame_ms(
+            self.camera.width * self.camera.height,
+            _pick_ray_lanes(self.camera.width * self.camera.height),
+            self.scene.geometry.tri_v.shape[0])
+        return plan_dispatch_frames(n_frames, est)
+
     def render_many(self, n_frames):
         cam = jnp.concatenate([jnp.asarray(self.camera.inv_projection),
                                jnp.asarray(self.camera.inv_view)], axis=0)
         P, AT = self.tables
-        summed, self.state = self._renderer(n_frames)(
-            cam, P, AT, self.em_table, jnp.uint32(self.frame_index),
-            self.state, ppv0=jnp.asarray(self.camera.prev_proj_view),
-            ppv1=jnp.asarray(self.camera.proj_view), TXP=self.tex_table,
-            TAABB=self.taabb if self.cull else None)
+        for f in self.dispatch_plan(n_frames):
+            summed, self.state = self._renderer(f)(
+                cam, P, AT, self.em_table, jnp.uint32(self.frame_index),
+                self.state, ppv0=jnp.asarray(self.camera.prev_proj_view),
+                ppv1=jnp.asarray(self.camera.proj_view), TXP=self.tex_table,
+                TAABB=self.taabb if self.cull else None)
+            self.accum = self.accum + summed
+            self.frame_index += f
         self.camera.commit_frame()
-        self.accum = self.accum + summed
-        self.frame_index += n_frames
         h, w = self.camera.height, self.camera.width
         return (self.accum / jnp.float32(self.frame_index - 1)).reshape(h, w, 3)

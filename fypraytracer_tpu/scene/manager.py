@@ -53,6 +53,34 @@ class SceneManager:
             m[k][mat_id] = v
         self._materials_dirty.add(mat_id)
 
+    def add_mesh(self, positions, tri_v, normals=None, uvs=None,
+                 material: int = 0, position=(0.0, 0.0, 0.0),
+                 rotation=(0.0, 0.0, 0.0), scale=(1.0, 1.0, 1.0)) -> int:
+        """Add a mesh mid-session (Scene::CreateNewMeshInScene,
+        Scene.cpp:241-290): append to the builder and queue a structure
+        rebuild — the next ``apply()`` re-bakes transforms and rebuilds
+        the BLAS/light tree/TLAS over the grown scene, exactly the
+        reference's post-import rebuild sequence (Scene.cpp:252-289).
+        Returns the new mesh id."""
+        mesh_id = self.builder.add_mesh(
+            positions, tri_v, normals=normals, uvs=uvs, material=material,
+            position=position, rotation=rotation, scale=scale)
+        self._meshes_dirty.add(mesh_id)
+        return mesh_id
+
+    def load_mesh(self, path: str, material: int = 0,
+                  position=(0.0, 0.0, 0.0), rotation=(0.0, 0.0, 0.0),
+                  scale=(1.0, 1.0, 1.0)) -> int:
+        """Import an OBJ mid-session (the reference's file-dialog import,
+        WalnutApp.cpp:742 → Scene::CreateNewMeshInScene).  Honors the
+        loader's left-handed z-flip convention (Mesh.cpp:299-304)."""
+        from fypraytracer_tpu.scene.objloader import load_obj
+
+        pos, tri, nrm, uv = load_obj(path)
+        return self.add_mesh(pos, tri, normals=nrm, uvs=uv,
+                             material=material, position=position,
+                             rotation=rotation, scale=scale)
+
     @property
     def dirty(self) -> bool:
         return bool(self._meshes_dirty or self._materials_dirty)

@@ -58,6 +58,41 @@ def test_interactive_session_edit_loop(tmp_path):
     assert abs(info["camera"][1] - 1.2) < 1e-6
 
 
+def test_interactive_load_and_add_sphere(tmp_path):
+    """REPL mesh add mid-session (the reference's runtime import flow,
+    WalnutApp.cpp:742): `load`/`add-sphere` grow the scene and the next
+    `step` renders through the rebuilt structures."""
+    from fypraytracer_tpu.app.interactive import InteractiveSession
+
+    builder, cam = cornell_box(width=32, height=32, with_spheres=False)
+    obj = tmp_path / "tri.obj"
+    obj.write_text("v -0.5 0 0\nv 0.5 0 0\nv 0 0.8 0\nf 1 2 3\n")
+    out = _Capture()
+    sess = InteractiveSession(builder, cam, out=out)
+    sess.run([
+        "tech cosine",
+        "bounces 1",
+        "step 1",
+        "info",
+        "add-sphere 0 0.55 0 0 0",
+        f"load {obj} 1 0 0 0.5",
+        "step 1",
+        "info",
+        "quit",
+    ])
+    rec = out.records()
+    infos = [r for r in rec if "scene_version" in r]
+    steps = [r for r in rec if "frame_ms" in r]
+    assert len(steps) == 2 and all(r["finite"] for r in steps)
+    loaded = [r for r in rec if "loaded" in r]
+    assert loaded and loaded[0]["triangles"] == 1
+    assert infos[1]["scene_version"] == infos[0]["scene_version"] + 1
+    # sphere (6x? default rows/cols -> 16*32*2 tris) + 1 obj tri added
+    assert infos[1]["triangles"] > infos[0]["triangles"] + 1
+    # the added geometry changes the image
+    assert abs(steps[1]["mean"] - steps[0]["mean"]) > 1e-5
+
+
 def test_interactive_session_bad_command_survives():
     from fypraytracer_tpu.app.interactive import InteractiveSession
 
