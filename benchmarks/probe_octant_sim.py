@@ -41,7 +41,7 @@ from fypraytracer_tpu.ops.traverse import trace_rays
 from fypraytracer_tpu.render import megakernel as MK
 from fypraytracer_tpu.scene.sceneio import builtin_scene
 
-C = 512
+C = int(os.environ.get("SIM_C", "512"))
 _BIG = 1e30
 
 
@@ -315,6 +315,168 @@ def main():
     # scene-box exit) lies inside the frontier; survivors re-compact.
     texit_all = scene_exit_t(np.nan_to_num(bo),
                              np.nan_to_num(bd, nan=1.0))
+    # H: two-level tiles — each 256-tri tile carries 8 sub-boxes of 32
+    # tris; a candidate tile's sweep covers only the sub-boxes the row's
+    # interval reaches.  Composes multiplicatively with any candidate
+    # strategy; measured here as mean passing sub-boxes per candidate.
+    g = scene.geometry  # NOTE: must match mscene's triangle order
+    mtv = np.asarray(mscene.geometry.tri_v)
+    mpos = np.asarray(mscene.geometry.positions)
+    t_lo = np.minimum(np.minimum(mpos[mtv[:, 0]], mpos[mtv[:, 1]]),
+                      mpos[mtv[:, 2]])
+    t_hi = np.maximum(np.maximum(mpos[mtv[:, 0]], mpos[mtv[:, 1]]),
+                      mpos[mtv[:, 2]])
+    TT_, SUB = 256, 32
+    n_tiles = len(tbox)
+    nsub = TT_ // SUB
+    sub_lo = np.full((n_tiles * nsub, 3), 1e30)
+    sub_hi = np.full((n_tiles * nsub, 3), -1e30)
+    Tn = len(mtv)
+    for k in range(n_tiles * nsub):
+        sl = slice(k * SUB, min((k + 1) * SUB, Tn))
+        if sl.start >= Tn:
+            sub_lo[k] = 0
+            sub_hi[k] = -1            # empty
+            continue
+        sub_lo[k] = t_lo[sl].min(0)
+        sub_hi[k] = t_hi[sl].max(0)
+    subbox = np.concatenate([sub_lo, sub_hi,
+                             (sub_hi >= sub_lo).all(1, keepdims=True) * 1.0,
+                             np.zeros((n_tiles * nsub, 1))], 1)
+
+    def analyze_subtiles(o_, d_, label):
+        n_rows = len(o_) // C
+        tot_tiles = 0
+        tot_subs = 0
+        for r in range(n_rows):
+            ro = o_[r * C:(r + 1) * C]
+            rd = d_[r * C:(r + 1) * C]
+            alive = np.isfinite(rd).all(1)
+            if not alive.any():
+                continue
+            hq, _ = interval_entries(tbox, ro, rd, alive)
+            cand = np.nonzero(hq)[0]
+            hs, _ = interval_entries(subbox, ro, rd, alive)
+            hs = hs.reshape(n_tiles, nsub)
+            tot_tiles += len(cand)
+            tot_subs += int(hs[cand].sum())
+        print(f"{label}: cand tiles/frame {tot_tiles:8d}  passing "
+              f"sub-boxes {tot_subs:8d}  ({tot_subs / max(tot_tiles, 1):.2f}"
+              f"/8 per tile -> sweep-cost x{tot_subs / max(tot_tiles, 1) / 8:.2f})")
+
+    analyze_subtiles(o[perm], d[perm], "primary/morton/subtiles")
+    analyze_subtiles(bo[perm], bd[perm], "bounce1/morton/subtiles")
+    analyze_subtiles(bo[op_][:live], bd[op_][:live],
+                     "bounce1/octsort/subtiles")
+
+    # L: two-level per-lane-scheduled sweep (in-kernel design candidate).
+    # Supergroups (SG) of 32 Morton-contiguous tiles; per-lane EXACT slab
+    # entries to each SG box (cheap: ~25x20 vector ops/row); SGs visited
+    # in ascending min-lane entry with per-lane completion (t_seg <= min
+    # entry over unswept SGs); inside an SG, tile candidates come from
+    # the interval of the lanes still NEEDING that SG — intervals tighten
+    # as lanes finish, so far SGs are swept only for the few survivors.
+    SGT = 32
+    n_sg = (len(tbox) + SGT - 1) // SGT
+    sg_lo = np.stack([tbox[s * SGT:(s + 1) * SGT, 0:3].min(0)
+                      for s in range(n_sg)])
+    sg_hi = np.stack([tbox[s * SGT:(s + 1) * SGT, 3:6].max(0)
+                      for s in range(n_sg)])
+
+    def lane_entries(o_, d_, blo, bhi, tlim):
+        """Per-lane slab entry to each box; inf when missed/beyond."""
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / np.where(np.abs(d_) < 1e-20, 1e-20, d_)
+        t1 = (blo[None] - o_[:, None]) * inv[:, None]
+        t2_ = (bhi[None] - o_[:, None]) * inv[:, None]
+        tn = np.maximum(np.minimum(t1, t2_).max(2), 0.0)   # (C, n_box)
+        tf = np.maximum(t1, t2_).min(2)
+        ok = (tf >= tn) & (tn <= tlim[:, None])
+        return np.where(ok, tn, np.inf)
+
+    def analyze_two_level(o_, d_, t_, label):
+        texit = scene_exit_t(np.nan_to_num(o_), np.nan_to_num(d_, nan=1.0))
+        n_rows = len(o_) // C
+        tot_tiles = 0
+        tot_sg_steps = 0
+        for r in range(n_rows):
+            ro = np.nan_to_num(o_[r * C:(r + 1) * C])
+            rd_raw = d_[r * C:(r + 1) * C]
+            rd = np.nan_to_num(rd_raw, nan=0.0)
+            alive0 = np.isfinite(rd_raw).all(1)
+            tlim = np.where(alive0, texit[r * C:(r + 1) * C], -1.0)
+            ent = lane_entries(ro, rd, sg_lo, sg_hi, tlim)   # (C, n_sg)
+            # per-lane true segment length (param t units)
+            tseg = np.where(np.isfinite(t_[r * C:(r + 1) * C]),
+                            t_[r * C:(r + 1) * C],
+                            texit[r * C:(r + 1) * C]) * 1.0001
+            tseg = np.where(alive0, tseg, -1.0)
+            unswept = np.ones(n_sg, bool)
+            done = ~alive0 | ~np.isfinite(ent).any(1)
+            order = np.argsort(np.where(np.isfinite(ent), ent, np.inf)
+                               .min(0))
+            for s in order:
+                need = ~done & np.isfinite(ent[:, s]) & (ent[:, s] <= tseg)
+                unswept[s] = False
+                if not need.any():
+                    continue
+                tot_sg_steps += 1
+                # tile candidates inside SG s from the NEEDING lanes only
+                sl = slice(s * SGT, min((s + 1) * SGT, len(tbox)))
+                hq, _ = interval_entries(tbox[sl], ro[need], rd[need],
+                                         np.ones(int(need.sum()), bool))
+                tot_tiles += int(hq.sum())
+                # lanes complete when no unswept SG can contain a closer hit
+                rem = np.where(np.isfinite(ent[:, unswept]),
+                               ent[:, unswept], np.inf)
+                min_rem = rem.min(1) if rem.shape[1] else np.full(C, np.inf)
+                done |= tseg <= min_rem
+            per_pre = 8  # per-lane SG-entry pre-pass ~ 8 tile-step units
+            tot_tiles += per_pre
+        print(f"{label}: tiles/frame {tot_tiles:8d}  sg_steps {tot_sg_steps:7d}"
+              f" (+{n_rows * 8} pre-pass units incl.)")
+
+    analyze_two_level(o[perm], d[perm], t[perm], "primary/morton/2LVL")
+    analyze_two_level(bo[perm], bd[perm], t2[perm], "bounce1/morton/2LVL")
+    analyze_two_level(bo[op_][:live], bd[op_][:live], t2[op_][:live],
+                      "bounce1/octsort/2LVL")
+
+    # I: the FLOOR for row-granularity sweeps — tiles that ANY lane's true
+    # segment [origin, hit] (or [origin, scene exit] for misses) actually
+    # intersects.  No row-level scheduler can sweep fewer tiles and stay
+    # exact; the gap between a strategy and this floor is its headroom.
+    def analyze_floor(o_, d_, t_, label):
+        texit = scene_exit_t(np.nan_to_num(o_), np.nan_to_num(d_, nan=1.0))
+        tlim = np.minimum(np.where(np.isfinite(t_), t_ * 1.0001, np.inf),
+                          texit)
+        n_rows = len(o_) // C
+        tot = 0
+        per = []
+        for r in range(n_rows):
+            ro = o_[r * C:(r + 1) * C]
+            rd = np.nan_to_num(d_[r * C:(r + 1) * C], nan=0.0)
+            rl = tlim[r * C:(r + 1) * C]
+            alive = np.isfinite(d_[r * C:(r + 1) * C]).all(1)
+            rl = np.where(alive, rl, -1.0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                inv = 1.0 / np.where(np.abs(rd) < 1e-20, 1e-20, rd)
+            t1 = (tbox[None, :, 0:3] - ro[:, None]) * inv[:, None]  # (C,NT,3)
+            t2_ = (tbox[None, :, 3:6] - ro[:, None]) * inv[:, None]
+            tn = np.maximum(np.minimum(t1, t2_).max(2), 0.0)
+            tf = np.maximum(t1, t2_).min(2)
+            hit = (tf >= tn) & (tn <= rl[:, None]) & (tbox[None, :, 6] > 0)
+            n_t = int(hit.any(0).sum())
+            tot += n_t
+            per.append(n_t)
+        per = np.array(per)
+        print(f"{label}: mean {per.mean():7.1f} median "
+              f"{np.median(per):7.1f} total/frame {tot:8d}")
+
+    analyze_floor(o[perm], d[perm], t[perm], "primary/morton/FLOOR")
+    analyze_floor(bo[perm], bd[perm], t2[perm], "bounce1/morton/FLOOR")
+    analyze_floor(bo[op_][:live], bd[op_][:live], t2[op_][:live],
+                  "bounce1/octsort/FLOOR")
+
     dn_all = np.linalg.norm(np.nan_to_num(bd, nan=1.0), axis=1)
     tseg_all = np.minimum(np.where(np.isfinite(t2), t2, np.inf),
                           texit_all) * dn_all      # segment length, world units

@@ -44,14 +44,28 @@ def _build(name):
         "cornell_nee": ("cornell", SamplingTechnique.NEE_MIS),
         "room_nee": ("room", SamplingTechnique.NEE_MIS),
         "room_di": ("room", SamplingTechnique.RESTIR_DI),
+        # round-4 additions (VERDICT r3 #6): the GI kernel family (both
+        # visibility modes) and the sparse/HBM big-scene path — the two
+        # newest code paths with hardware-only failure modes (Mosaic
+        # lane alignment, final_vis estimator)
+        "room_gi": ("room", SamplingTechnique.RESTIR_GI),
+        "room_gi_ref": ("room", SamplingTechnique.RESTIR_GI),
+        "stress_nee": ("stress", SamplingTechnique.NEE_MIS),
     }[name]
-    builder, cam = builtin_scene(scene_name, 256, 256)
+    res = 128 if scene_name == "stress" else 256   # keep the sparse/HBM
+    # config inside the burst window (~190 ms/frame at 256²)
+    builder, cam = builtin_scene(scene_name, res, res)
     scene = builder.compile()
     settings = RenderSettings(technique=tech, bounces=2, samples=1,
                               sky_color=(0.05, 0.06, 0.08))
     if tech == SamplingTechnique.RESTIR_DI:
         from fypraytracer_tpu.render.megakernel_restir import MegakernelReSTIRDI
         return MegakernelReSTIRDI(scene, cam, settings)
+    if tech == SamplingTechnique.RESTIR_GI:
+        from fypraytracer_tpu.render.megakernel_restir_gi import (
+            MegakernelReSTIRGI)
+        return MegakernelReSTIRGI(scene, cam, settings,
+                                  final_vis=(name != "room_gi_ref"))
     from fypraytracer_tpu.render.megakernel import MegakernelRenderer
     return MegakernelRenderer(scene, cam, settings)
 
@@ -101,8 +115,10 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    names = os.environ.get("SMOKE_CONFIGS",
-                           "cornell_nee,room_nee,room_di").split(",")
+    names = os.environ.get(
+        "SMOKE_CONFIGS",
+        "cornell_nee,room_nee,room_di,room_gi,room_gi_ref,stress_nee"
+    ).split(",")
     rows, ok = [], True
     for name in names:
         try:

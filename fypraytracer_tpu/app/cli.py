@@ -62,8 +62,54 @@ def _settings(args, technique) -> RenderSettings:
         temporal_history_limit=args.history)
 
 
+def _burst_run(mk, frames, burst, reps, idle):
+    """Burst-window timing protocol (VERDICT r3 #2): the runtime meters
+    device-busy time with a token bucket (~63 ms full-rate credit per
+    idle period, sustained ~1/6.9 of burst — PERF.md #26), so long
+    dispatches report ~6.9x-dilated per-frame times.  TRUE kernel speed
+    is measured with SHORT dispatches (``burst`` frames) separated by
+    idle sleeps that refill the credit; the reported number is the
+    fastest rep net of per-call host overhead (measured by re-fencing a
+    resident array).  Accumulates ``frames`` total so image quality is
+    still comparable.  Returns (avg_hdr, frames_done, burst_ms/frame).
+    """
+    import jax
+
+    fence = jax.jit(lambda v: v.ravel()[0])
+    avg = mk.render_many(burst)                 # compile + warm
+    float(fence(avg))
+    done = burst
+    best = float("inf")
+    while done < max(frames, burst * (reps + 1)):
+        time.sleep(idle)
+        t0 = time.perf_counter()
+        avg = mk.render_many(burst)
+        float(fence(avg))
+        wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(fence(avg))                       # no new work: host overhead
+        host = time.perf_counter() - t0
+        best = min(best, max(wall - host, 1e-9))
+        done += burst
+    return np.asarray(avg), done, best / burst * 1000.0
+
+
+def _make_megakernel_renderer(scene, cam, settings):
+    tech = int(settings.technique)
+    if tech == 7:      # RESTIR_DI
+        from fypraytracer_tpu.render.megakernel_restir import (
+            MegakernelReSTIRDI)
+        return MegakernelReSTIRDI(scene, cam, settings)
+    if tech == 8:      # RESTIR_GI
+        from fypraytracer_tpu.render.megakernel_restir_gi import (
+            MegakernelReSTIRGI)
+        return MegakernelReSTIRGI(scene, cam, settings)
+    from fypraytracer_tpu.render.megakernel import MegakernelRenderer
+    return MegakernelRenderer(scene, cam, settings)
+
+
 def _render_run(scene, cam, settings, frames=None, seconds=None, impl="auto",
-                strict=False):
+                strict=False, burst=0, burst_reps=4, burst_idle=2.5):
     """Accumulate frames; returns (avg_hdr, frames, avg_frame_ms, impl_used).
 
     ``impl``: 'auto' | 'wavefront' | 'megakernel' — megakernel is the fast
@@ -73,28 +119,26 @@ def _render_run(scene, cam, settings, frames=None, seconds=None, impl="auto",
     wavefront renderer with a logged warning; pass ``strict=True`` (or
     request impl='megakernel' explicitly) to error instead, so a fast-path
     regression can't silently re-route benchmarks to the ~40x slower path.
+
+    ``burst`` > 0 switches the timing to the burst-window protocol
+    (``_burst_run``): ``burst``-frame dispatches with ``burst_idle``-second
+    credit-refill sleeps; the reported ms/frame is true kernel speed, not
+    the sustained (throttled) rate.
     """
     from fypraytracer_tpu.render.renderer import Renderer
 
     tech = int(settings.technique)
     use_mk = impl == "megakernel" or (
-        impl == "auto" and frames is not None and frames >= 16
+        impl == "auto" and frames is not None and (frames >= 16 or burst)
         and tech in (0, 1, 2, 3, 4, 5, 6, 7, 8)
         and (cam.width * cam.height) % 128 == 0)
     if use_mk:
         try:
-            if tech == 7:      # RESTIR_DI
-                from fypraytracer_tpu.render.megakernel_restir import (
-                    MegakernelReSTIRDI)
-                mk = MegakernelReSTIRDI(scene, cam, settings)
-            elif tech == 8:    # RESTIR_GI
-                from fypraytracer_tpu.render.megakernel_restir_gi import (
-                    MegakernelReSTIRGI)
-                mk = MegakernelReSTIRGI(scene, cam, settings)
-            else:
-                from fypraytracer_tpu.render.megakernel import (
-                    MegakernelRenderer)
-                mk = MegakernelRenderer(scene, cam, settings)
+            mk = _make_megakernel_renderer(scene, cam, settings)
+            if burst:
+                avg, n, ms = _burst_run(mk, frames or 0, burst, burst_reps,
+                                        burst_idle)
+                return avg, n, ms, "megakernel-burst"
             np.asarray(mk.render_many(frames))  # batch 1: compile + frames
             t0 = time.perf_counter()
             avg = np.asarray(mk.render_many(frames))  # batch 2: timed
@@ -181,15 +225,17 @@ def cmd_benchmark(args):
     from fypraytracer_tpu.core.color import finalize_pixels, to_uint8_rgb
     from fypraytracer_tpu.utils import metrics as M
 
-    golden_hdr, _, _, _ = _render_run(
-        scene, cam, _settings(args, _TECH[args.golden_technique]).replace(
-            samples=max(args.samples, 4)),
-        frames=args.golden_frames, strict=args.strict)
-    golden8 = to_uint8_rgb(finalize_pixels(golden_hdr, np.float32(1.0)))
-    if args.out:
-        from fypraytracer_tpu.utils.image import save_png
-        os.makedirs(args.out, exist_ok=True)
-        save_png(os.path.join(args.out, "golden.png"), golden8)
+    golden8 = None
+    if args.golden_frames > 0:
+        golden_hdr, _, _, _ = _render_run(
+            scene, cam, _settings(args, _TECH[args.golden_technique]).replace(
+                samples=max(args.samples, 4)),
+            frames=args.golden_frames, strict=args.strict)
+        golden8 = to_uint8_rgb(finalize_pixels(golden_hdr, np.float32(1.0)))
+        if args.out:
+            from fypraytracer_tpu.utils.image import save_png
+            os.makedirs(args.out, exist_ok=True)
+            save_png(os.path.join(args.out, "golden.png"), golden8)
 
     rows = []
     for name in techniques:
@@ -197,15 +243,21 @@ def cmd_benchmark(args):
         hdr, n, avg_ms, impl = _render_run(scene, cam, settings,
                                            frames=args.frames,
                                            seconds=args.seconds,
-                                           strict=args.strict)
+                                           strict=args.strict,
+                                           burst=args.burst,
+                                           burst_reps=args.burst_reps,
+                                           burst_idle=args.burst_idle)
         rgb8 = to_uint8_rgb(finalize_pixels(hdr, np.float32(1.0)))
-        mse = M.mse_8bit(rgb8, golden8)
-        rows.append({"technique": name, "frames": n,
-                     "avg_frame_ms": round(avg_ms, 2), "impl": impl,
-                     "mse": round(mse, 4), "psnr": round(M.psnr(mse), 2)})
+        row = {"technique": name, "frames": n,
+               "avg_frame_ms": round(avg_ms, 2), "impl": impl}
+        if golden8 is not None:
+            mse = M.mse_8bit(rgb8, golden8)
+            row.update(mse=round(mse, 4), psnr=round(M.psnr(mse), 2))
+        rows.append(row)
         print(json.dumps(rows[-1]))
         if args.out:
             from fypraytracer_tpu.utils.image import save_png
+            os.makedirs(args.out, exist_ok=True)
             save_png(os.path.join(args.out, name + ".png"), rgb8)
     if args.out:
         os.makedirs(args.out, exist_ok=True)
@@ -356,9 +408,18 @@ def main(argv=None):
     b.add_argument("--techniques", default=None, help="comma list")
     b.add_argument("--frames", type=int, default=None)
     b.add_argument("--seconds", type=float, default=None)
-    b.add_argument("--golden-frames", type=int, default=256)
+    b.add_argument("--golden-frames", type=int, default=256,
+                   help="0 = timing-only (skip the golden render + PSNR)")
     b.add_argument("--golden-technique", choices=sorted(_TECH),
                    default="nee", help="estimator for the golden image")
+    b.add_argument("--burst", type=int, default=0,
+                   help="frames per dispatch for burst-window timing "
+                        "(0 = off): short dispatches + idle credit-refill "
+                        "sleeps report TRUE kernel speed on runtimes that "
+                        "throttle sustained device time (PERF.md #26)")
+    b.add_argument("--burst-reps", type=int, default=4)
+    b.add_argument("--burst-idle", type=float, default=2.5,
+                   help="idle seconds between burst dispatches")
     b.add_argument("-o", "--out", default=None)
     b.set_defaults(fn=cmd_benchmark)
 

@@ -1125,21 +1125,18 @@ def build_trace_sparse(p_ref, tbox_ref, rayin, trout, trouti, candst,
             rdz = rayin[5 * RS:5 * RS + 1, :]
             cnt = _mask_and_compact(rox, roy, roz, rdx, rdy, rdz)
 
-            def tile_step(j, carry):
-                t_c, u_c, v_c, tri_c = carry
-                k = jnp.sum(candst[pl.ds(j, 1), :]).astype(jnp.int32)
-                if p_hbm is None:
-                    pt = p_ref[pl.ds(k * TT, TT), :]
-                else:
-                    ptile, psem = p_hbm
-                    dma = pltpu.make_async_copy(
-                        p_ref.at[pl.ds(k * TT, TT), :], ptile, psem)
-                    dma.start()
-                    dma.wait()
-                    pt = ptile  # ref; pc() slices single columns
+            def cand_k(j):
+                """Tile id of candidate j, clamped for speculative reads
+                (prefetch indices may run past cnt; results are masked)."""
+                jc = jnp.clip(j, 0, NT - 1)
+                k = jnp.sum(candst[pl.ds(jc, 1), :]).astype(jnp.int32)
+                return jnp.clip(k, 0, n_tri_tiles - 1)
 
-                def pc(jj):
-                    return pt[:, jj:jj + 1]
+            def isect(pt_col, k, valid, carry):
+                """One tile intersection; ``pt_col(jj)`` yields plane
+                column jj; ``valid`` masks speculative iterations."""
+                t_c, u_c, v_c, tri_c = carry
+                pc = pt_col
 
                 o_n = pc(0) * rox + pc(1) * roy + pc(2) * roz + pc(3)
                 d_n = pc(0) * rdx + pc(1) * rdy + pc(2) * rdz
@@ -1166,17 +1163,72 @@ def build_trace_sparse(p_ref, tbox_ref, rayin, trout, trouti, candst,
                 # candidates are emitted in ascending tile order, so the
                 # strict < keeps the dense sweep's cross-tile tie-break
                 # (earliest tile wins) bit-identically
-                better = t_min < t_c
+                better = (t_min < t_c) & valid
                 return (jnp.where(better, t_min, t_c),
                         jnp.where(better, u_k, u_c),
                         jnp.where(better, v_k, v_c),
                         jnp.where(better, ridx + k * TT, tri_c))
 
             z1 = jnp.zeros((1, C), jnp.float32)
-            t_n, u_n, v_n, tri_n = jax.lax.fori_loop(
-                0, cnt, tile_step,
-                (jnp.full((1, C), _BIG, jnp.float32), z1, z1,
-                 jnp.full((1, C), -1, jnp.int32)), unroll=False)
+            init = (jnp.full((1, C), _BIG, jnp.float32), z1, z1,
+                    jnp.full((1, C), -1, jnp.int32))
+
+            if p_hbm is None:
+                def tile_step(j, carry):
+                    k = cand_k(j)
+                    pt = p_ref[pl.ds(k * TT, TT), :]
+                    return isect(lambda jj: pt[:, jj:jj + 1], k,
+                                 jnp.bool_(True), carry)
+
+                t_n, u_n, v_n, tri_n = jax.lax.fori_loop(
+                    0, cnt, tile_step, init, unroll=False)
+            else:
+                # Double-buffered window prefetch: candidate j+1's (TT,
+                # 128) plane rows stream into the other window while tile
+                # j is intersected, hiding the HBM DMA latency behind the
+                # VPU sweep (the old start();wait() per tile serialized
+                # them).  Candidates are processed in PAIRS so the two
+                # windows alternate with static refs; the odd tail runs a
+                # masked (valid=False) iteration on stale window data.
+                w0, w1, s0, s1 = p_hbm
+
+                def start(win, sem, k):
+                    pltpu.make_async_copy(
+                        p_ref.at[pl.ds(k * TT, TT), :], win, sem).start()
+
+                @pl.when(cnt > 0)
+                def _():
+                    start(w0, s0, cand_k(0))
+
+                def pair_step(p, carry):
+                    j0 = 2 * p
+                    j1 = j0 + 1
+                    k0 = cand_k(j0)
+                    k1 = cand_k(j1)
+
+                    @pl.when(j1 < cnt)
+                    def _():
+                        start(w1, s1, k1)
+
+                    pltpu.make_async_copy(
+                        p_ref.at[pl.ds(k0 * TT, TT), :], w0, s0).wait()
+                    carry = isect(lambda jj: w0[:, jj:jj + 1], k0,
+                                  jnp.bool_(True), carry)
+
+                    @pl.when(j0 + 2 < cnt)
+                    def _():
+                        start(w0, s0, cand_k(j0 + 2))
+
+                    @pl.when(j1 < cnt)
+                    def _():
+                        pltpu.make_async_copy(
+                            p_ref.at[pl.ds(k1 * TT, TT), :], w1, s1).wait()
+                    carry = isect(lambda jj: w1[:, jj:jj + 1], k1,
+                                  j1 < cnt, carry)
+                    return carry
+
+                t_n, u_n, v_n, tri_n = jax.lax.fori_loop(
+                    0, (cnt + 1) // 2, pair_step, init, unroll=False)
 
             trout[:] = jnp.concatenate(
                 [trout[1:RS], t_n, trout[RS + 1:2 * RS], u_n,
@@ -1467,6 +1519,7 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                     sparse: bool = False, hbm_tables: bool | None = None,
                     row_groups: int | None = None,
                     chunk_rows: int | None = None,
+                    tiled_pixels: bool | None = None,
                     interpret: bool = False):
     """Build the jitted megakernel renderer for a fixed configuration.
 
@@ -1511,6 +1564,20 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
     if hbm_tables:
         assert sparse, "HBM-resident tables require the sparse trace"
     _, lk_csz = _lookup_chunk(T)
+
+    # Tiled pixel->lane mapping: each C-lane row covers a BX x BY pixel
+    # BLOCK (32 x C/32) instead of C/width scanlines.  Compact blocks
+    # shrink the sparse trace's per-row ray-bundle footprint — measured
+    # on the stress scene (benchmarks/probe_octant_sim.py): primary-row
+    # candidate tiles 95 -> 43 mean, shadow segments likewise.  Pure
+    # scheduling change: the TRUE pixel id (and thus RNG stream, image
+    # value) is preserved; render() inverts the permutation on output.
+    BX = 32
+    BY = C // BX
+    if tiled_pixels is None:
+        tiled_pixels = sparse and width % BX == 0 and height % BY == 0
+    if tiled_pixels:
+        assert width % BX == 0 and height % BY == 0, (width, height, C)
 
     # row groups per grid step: per-grid-step cost cliffs ~6-7x once the
     # grid exceeds a few hundred steps at FIXED per-step work (PERF.md
@@ -1582,11 +1649,13 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
                        else (None, None))
         candst = refs.pop(0) if sparse else None
         if hbm_tables:
-            ptile = refs.pop(0)
+            ptile0 = refs.pop(0)
+            ptile1 = refs.pop(0)
             atwin = refs.pop(0)
-            psem = refs.pop(0)
+            psem0 = refs.pop(0)
+            psem1 = refs.pop(0)
             asem = refs.pop(0)
-            p_hbm, a_hbm = (ptile, psem), (atwin, asem)
+            p_hbm, a_hbm = (ptile0, ptile1, psem0, psem1), (atwin, asem)
         else:
             p_hbm = a_hbm = None
         tile = pl.program_id(0)
@@ -1725,6 +1794,13 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
             pix = (tile * RG + rg) * C + lane      # (1, C) int32
             if CH:
                 pix = pix + pix0_ref[0, 0]         # chunk pixel offset
+            if tiled_pixels:
+                # lane-linear index -> true pixel id of the BX x BY block
+                blk = pix // C
+                lx = lane % BX
+                ly = lane // BX
+                bw = width // BX
+                pix = ((blk // bw) * BY + ly) * width + (blk % bw) * BX + lx
             ox0, oy0, oz0, dx0, dy0, dz0 = raygen(pix)
             # ---- hoisted primary hit (camera static within a dispatch) --------
             t0, hit0, u0, v0, tri0 = trace(ox0, oy0, oz0, dx0, dy0, dz0)  # (1, C)
@@ -2127,9 +2203,11 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
             # real TPU — interpret mode does not check this), so the HBM
             # plane table is padded to 128 lanes and whole rows are
             # windowed; compute still reads columns 0..15
-            pltpu.VMEM((TT, 128), jnp.float32),           # ptile window
+            pltpu.VMEM((TT, 128), jnp.float32),           # ptile window 0
+            pltpu.VMEM((TT, 128), jnp.float32),           # ptile window 1
             pltpu.VMEM((_A_ROWS_TOT, lk_csz), jnp.float32),  # at window
-            pltpu.SemaphoreType.DMA(()),                  # psem
+            pltpu.SemaphoreType.DMA(()),                  # psem 0
+            pltpu.SemaphoreType.DMA(()),                  # psem 1
             pltpu.SemaphoreType.DMA(()),                  # asem
         ]
 
@@ -2184,7 +2262,18 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
         else:
             out = call(*args)
         out = out.reshape(B // C, 8, C)[:, :3, :]
-        return out.transpose(0, 2, 1).reshape(B, 3)
+        out = out.transpose(0, 2, 1).reshape(B, 3)
+        if tiled_pixels:
+            # invert the block permutation: row i's lane l rendered true
+            # pixel order[i*C+l]; scatter back to linear pixel order
+            i = np.arange(B)
+            blk, lane_i = i // C, i % C
+            bw = width // BX
+            order = (((blk // bw) * BY + lane_i // BX) * width
+                     + (blk % bw) * BX + lane_i % BX)
+            inv = np.argsort(order)
+            out = out[jnp.asarray(inv, jnp.int32)]
+        return out
 
     return render
 
@@ -2205,6 +2294,13 @@ def _pick_frame_group(n_frames: int) -> int:
             "occupancy lost); round the frame budget to a multiple of 8",
             stacklevel=2)
     return 1
+
+
+@jax.jit
+def _finish_avg(accum, n):
+    """Jitted running-average (an eager divide costs a tunnel round-trip
+    on the axon runtime)."""
+    return accum / n
 
 
 def estimate_frame_ms(num_pixels: int, ray_lanes: int, n_tris: int,
@@ -2303,7 +2399,7 @@ class MegakernelRenderer:
             # brute force traces exactly 1 path/frame regardless of the
             # sample count (Renderer.cu:565-701)
             samples = 1 if int(self.settings.technique) == 0 else self.settings.samples
-            self._render_cache[key] = make_megakernel(
+            fn = make_megakernel(
                 self.camera.width, self.camera.height, self.settings.bounces,
                 samples, self.settings.sky_color, n_frames,
                 self.scene.geometry.tri_v.shape[0], sampler=self.sampler,
@@ -2314,6 +2410,18 @@ class MegakernelRenderer:
                     self.camera.width * self.camera.height),
                 tex_shapes=self.tex_shapes, sparse=self.sparse,
                 interpret=self.interpret)
+
+            # ONE jitted dispatch per batch: render + accumulate.  Eager
+            # jnp ops (the old `accum + summed`, the table pads inside
+            # render()) each cost a tunnel round-trip on the axon runtime
+            # — they dominated short-dispatch timings (burst protocol).
+            def step(cam_mats, P, AT, frame0, accum, L, TXP, TXB,
+                     TAABB, TBOX):
+                summed = fn(cam_mats, P, AT, frame0, L=L, TXP=TXP,
+                            TXB=TXB, TAABB=TAABB, TBOX=TBOX)
+                return accum + summed
+
+            self._render_cache[key] = jax.jit(step)
         return self._render_cache[key]
 
     def dispatch_plan(self, n_frames: int) -> list:
@@ -2334,11 +2442,10 @@ class MegakernelRenderer:
         txp, txb = self.tex_tables if self.tex_tables else (None, None)
         for f in self.dispatch_plan(n_frames):
             frame0 = jnp.asarray([[self.frame_index]], jnp.int32)
-            summed = self._renderer(f)(cam_mats, P, AT, frame0,
-                                       L=self.light_table,
-                                       TXP=txp, TXB=txb,
-                                       TAABB=self.taabb, TBOX=self.tbox)
-            self.accum = self.accum + summed
+            self.accum = self._renderer(f)(
+                cam_mats, P, AT, frame0, self.accum, self.light_table,
+                txp, txb, self.taabb, self.tbox)
             self.frame_index += f
         h, w = self.camera.height, self.camera.width
-        return (self.accum / jnp.float32(self.frame_index - 1)).reshape(h, w, 3)
+        return _finish_avg(self.accum,
+                           jnp.float32(self.frame_index - 1)).reshape(h, w, 3)

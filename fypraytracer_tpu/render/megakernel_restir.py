@@ -714,12 +714,23 @@ class MegakernelReSTIRDI:
 
     def _renderer(self, n_frames):
         if n_frames not in self._cache:
-            self._cache[n_frames] = make_restir_di_megakernel(
+            fn = make_restir_di_megakernel(
                 self.camera.width, self.camera.height, self.settings,
                 self.scene.geometry.tri_v.shape[0], self.n_emissive,
                 self.em_table.shape[1], n_frames,
                 tex_shapes=self.tex_shapes, cull=self.cull,
                 interpret=self.interpret)
+
+            # one jitted dispatch per batch (render + accumulate): eager
+            # jnp ops cost tunnel round-trips on axon and dominated
+            # short-dispatch (burst) timings
+            def step(cam, P, AT, EM, f0, state, accum, ppv0, ppv1, TXP,
+                     TAABB):
+                summed, st = fn(cam, P, AT, EM, f0, state, ppv0=ppv0,
+                                ppv1=ppv1, TXP=TXP, TAABB=TAABB)
+                return accum + summed, st
+
+            self._cache[n_frames] = jax.jit(step)
         return self._cache[n_frames]
 
     def dispatch_plan(self, n_frames) -> list:
@@ -735,17 +746,20 @@ class MegakernelReSTIRDI:
         return plan_dispatch_frames(n_frames, est)
 
     def render_many(self, n_frames):
+        from fypraytracer_tpu.render.megakernel import _finish_avg
+
         cam = jnp.concatenate([jnp.asarray(self.camera.inv_projection),
                                jnp.asarray(self.camera.inv_view)], axis=0)
         P, AT = self.tables
         for f in self.dispatch_plan(n_frames):
-            summed, self.state = self._renderer(f)(
+            self.accum, self.state = self._renderer(f)(
                 cam, P, AT, self.em_table, jnp.uint32(self.frame_index),
-                self.state, ppv0=jnp.asarray(self.camera.prev_proj_view),
-                ppv1=jnp.asarray(self.camera.proj_view), TXP=self.tex_table,
-                TAABB=self.taabb if self.cull else None)
-            self.accum = self.accum + summed
+                self.state, self.accum,
+                jnp.asarray(self.camera.prev_proj_view),
+                jnp.asarray(self.camera.proj_view), self.tex_table,
+                self.taabb if self.cull else None)
             self.frame_index += f
         self.camera.commit_frame()
         h, w = self.camera.height, self.camera.width
-        return (self.accum / jnp.float32(self.frame_index - 1)).reshape(h, w, 3)
+        return _finish_avg(self.accum,
+                           jnp.float32(self.frame_index - 1)).reshape(h, w, 3)

@@ -1499,8 +1499,13 @@ class MegakernelReSTIRGI:
         self.probe_no_vis = probe_no_vis
         self.probe_closest_vis = probe_closest_vis
         # final_vis (mono only): single winner-visibility sweep instead
-        # of per-neighbor sweeps; default ON for the mono fast path
-        self.final_vis = True if final_vis is None else final_vis
+        # of per-neighbor sweeps; default ON for the mono fast path.
+        # FYP_GI_FINAL_VIS=0 selects the reference's per-neighbor
+        # visibility semantics (Renderer.cu:2356-2366) from the CLI.
+        env_fv = os.environ.get("FYP_GI_FINAL_VIS")
+        if final_vis is None:
+            final_vis = bool(int(env_fv)) if env_fv is not None else True
+        self.final_vis = final_vis
         if probe_fake_vis or probe_no_vis:
             print("WARNING: probe_fake_vis/no_vis — image is a PERF PROBE, "
                   "visibility term is synthetic/WRONG", flush=True)
@@ -1551,11 +1556,31 @@ class MegakernelReSTIRGI:
             else:
                 make = make_restir_gi_megakernel
                 probes = dict(probe_split_vis=self.probe_split_vis)
-            self._cache[n_frames] = make(
+            fn = make(
                 self.camera.width, self.camera.height, self.settings,
                 self.scene.geometry.tri_v.shape[0], n_frames,
                 tex_shapes=self.tex_shapes, cull=self.cull,
                 interpret=self.interpret, **probes)
+
+            # one jitted dispatch per batch (render + accumulate): eager
+            # jnp ops cost tunnel round-trips on axon and dominated
+            # short-dispatch (burst) timings
+            if self.mono:
+                def step(cam, P, AT, f0, state, stage, accum, ppv0, ppv1,
+                         TXP, TXB, TAABB):
+                    summed, st, sg = fn(cam, P, AT, f0, state, stage,
+                                        ppv0=ppv0, ppv1=ppv1, TXP=TXP,
+                                        TXB=TXB, TAABB=TAABB)
+                    return accum + summed, st, sg
+            else:
+                def step(cam, P, AT, f0, state, stage, accum, ppv0, ppv1,
+                         TXP, TXB, TAABB):
+                    summed, st = fn(cam, P, AT, f0, state, ppv0=ppv0,
+                                    ppv1=ppv1, TXP=TXP, TXB=TXB,
+                                    TAABB=TAABB)
+                    return accum + summed, st, stage
+
+            self._cache[n_frames] = jax.jit(step)
         return self._cache[n_frames]
 
     def dispatch_plan(self, n_frames) -> list:
@@ -1571,23 +1596,20 @@ class MegakernelReSTIRGI:
         return plan_dispatch_frames(n_frames, est)
 
     def render_many(self, n_frames):
+        from fypraytracer_tpu.render.megakernel import _finish_avg
+
         cam = jnp.concatenate([jnp.asarray(self.camera.inv_projection),
                                jnp.asarray(self.camera.inv_view)], axis=0)
         P, AT = self.tables
         txp, txb = self.tex_tables if self.tex_tables else (None, None)
-        kw = dict(ppv0=jnp.asarray(self.camera.prev_proj_view),
-                  ppv1=jnp.asarray(self.camera.proj_view),
-                  TXP=txp, TXB=txb, TAABB=self.taabb)
+        ppv0 = jnp.asarray(self.camera.prev_proj_view)
+        ppv1 = jnp.asarray(self.camera.proj_view)
         for f in self.dispatch_plan(n_frames):
-            if self.mono:
-                summed, self.state, self.stage = self._renderer(f)(
-                    cam, P, AT, jnp.uint32(self.frame_index), self.state,
-                    self.stage, **kw)
-            else:
-                summed, self.state = self._renderer(f)(
-                    cam, P, AT, jnp.uint32(self.frame_index), self.state, **kw)
-            self.accum = self.accum + summed
+            self.accum, self.state, self.stage = self._renderer(f)(
+                cam, P, AT, jnp.uint32(self.frame_index), self.state,
+                self.stage, self.accum, ppv0, ppv1, txp, txb, self.taabb)
             self.frame_index += f
         self.camera.commit_frame()
         h, w = self.camera.height, self.camera.width
-        return (self.accum / jnp.float32(self.frame_index - 1)).reshape(h, w, 3)
+        return _finish_avg(self.accum,
+                           jnp.float32(self.frame_index - 1)).reshape(h, w, 3)

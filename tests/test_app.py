@@ -105,6 +105,44 @@ def test_cli_benchmark_two_techniques(tmp_path):
     assert all(np.isfinite(r["psnr"]) or r["mse"] == 0 for r in rows)
 
 
+def test_burst_run_protocol():
+    """_burst_run (VERDICT r3 #2): short dispatches + idle refill sleeps;
+    reports the fastest rep net of host overhead and accumulates the full
+    frame budget."""
+    import jax.numpy as jnp
+
+    from fypraytracer_tpu.app.cli import _burst_run
+
+    class FakeMK:
+        def __init__(self):
+            self.calls = []
+
+        def render_many(self, n):
+            self.calls.append(n)
+            return jnp.ones((8, 8, 3), jnp.float32)
+
+    mk = FakeMK()
+    avg, done, ms = _burst_run(mk, frames=8, burst=2, reps=2, idle=0.0)
+    assert mk.calls == [2, 2, 2, 2]          # warm + 3 timed reps
+    assert done == 8
+    assert np.isfinite(ms) and ms >= 0.0
+    assert avg.shape == (8, 8, 3)
+
+
+def test_cli_benchmark_timing_only(tmp_path):
+    """--golden-frames 0 skips the golden render and PSNR columns."""
+    from fypraytracer_tpu.app.cli import main
+
+    out = tmp_path / "bench"
+    main(["benchmark", "--scene", "cornell-empty", "--width", "24",
+          "--height", "24", "--techniques", "cosine", "--frames", "2",
+          "--golden-frames", "0", "-o", str(out)])
+    rows = json.load(open(out / "benchmark.json"))
+    assert rows[0]["technique"] == "cosine"
+    assert "psnr" not in rows[0]
+    assert not os.path.exists(out / "golden.png")
+
+
 def test_cli_train_reduces_loss():
     from fypraytracer_tpu.app.cli import main
     import io
