@@ -41,6 +41,8 @@ def main():
     cull_env = os.environ.get("PROBE_CULL", "auto")
     cull = None if cull_env == "auto" else bool(int(cull_env))
     sparse = bool(int(os.environ.get("PROBE_SPARSE", "0")))
+    tiled_env = os.environ.get("PROBE_TILED", "auto")
+    tiled = None if tiled_env == "auto" else bool(int(tiled_env))
     tbox = MK.prepare_tile_boxes_lanes(mscene, MK.TRI_TILE) if sparse \
         else None
     tex_on = bool(int(os.environ.get("PROBE_TEX", "1"))) \
@@ -58,7 +60,7 @@ def main():
         n_frames=frames, n_tris=T, sampler=sampler,
         n_light_nodes=L.shape[1], light_depth=depth, frame_group=8,
         ray_lanes=lanes, tex_shapes=tex_shapes,
-        cull=cull, sparse=sparse,
+        cull=cull, sparse=sparse, tiled_pixels=tiled,
         row_groups=int(rg_env) if rg_env else None,
         chunk_rows=int(ch_env) if ch_env else None)
     cam_mats = jnp.concatenate([jnp.asarray(cam.inv_projection),
