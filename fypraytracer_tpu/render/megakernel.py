@@ -990,38 +990,11 @@ def prepare_tile_boxes_lanes(scene: Scene, tri_tile: int = TRI_TILE,
     return jnp.asarray(out)
 
 
-def build_trace_sparse(p_ref, tbox_ref, rayin, trout, trouti, candst,
-                       C, TT, T, RS=_RS, p_hbm=None):
-    """Closest-hit trace that visits ONLY the triangle tiles whose AABB
-    a conservative ray-bundle interval can reach — the TPU-idiomatic
-    stand-in for the reference's hierarchical TLAS/BLAS descent
-    (Renderer.cu:460-561).  Per ray row:
-
-      1. bundle interval: lane min/max of origins and directions (NaN
-         lanes sanitized); axes whose direction interval spans 0 pass
-         conservatively;
-      2. vectorized slab test of the interval against ALL tile boxes at
-         once ((1, NT) lane-major ops over ``tbox_ref``);
-      3. stream compaction of the hit mask into a candidate tile list
-         (log-shift prefix sum + one-hot row reduce, no MXU);
-      4. the usual Baldwin-Weber tile sweep as a fori_loop with a
-         DYNAMIC trip count = candidate count — skipped tiles cost
-         nothing at all (vs ~0.1-0.3 us/iteration for a @pl.when skip).
-
-    The test is conservative per ROW (512 rays): coherent rows (primary
-    bundles on Morton-ordered pixels, short shadow segments) visit few
-    tiles; fully incoherent rows degrade to the dense sweep plus ~2-4 us
-    of mask/compaction overhead.  Correctness never depends on
-    coherence.  Scratch ``candst`` is (NT, 1) f32 (tile ids as exact
-    floats).  Same rayin/trout/trouti rotation contract as build_trace.
-
-    ``p_hbm``: (ptile_ref, dma_sem) for HBM-resident plane tables (big
-    scenes): each candidate tile's (TT, 16) rows are DMA'd into the
-    window before intersection — VMEM holds only the working tile, so
-    scene size is bounded by HBM, not VMEM."""
+def _make_bundle_compactor(tbox_ref, candst, C):
+    """Shared sparse-trace candidate machinery: conservative ray-bundle
+    interval vs all tile AABBs -> compacted candidate tile list in
+    ``candst`` + count.  See build_trace_sparse's docstring."""
     NT = tbox_ref.shape[1]
-    n_tri_tiles = T // TT
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (TT, C), 0)
     lane_nt = jax.lax.broadcasted_iota(jnp.int32, (1, NT), 1)
 
     def _sane_minmax(v):
@@ -1057,7 +1030,7 @@ def build_trace_sparse(p_ref, tbox_ref, rayin, trout, trouti, candst,
         ub = jnp.where(mixed, _BIG, ub)
         return lb, ub
 
-    def _mask_and_compact(rox, roy, roz, rdx, rdy, rdz, seg_lim=None):
+    def mask_and_compact(rox, roy, roz, rdx, rdy, rdz, seg_lim=None):
         """(1, NT) candidate mask -> candst + scalar count."""
         o_lox, o_hix = _sane_minmax(rox)
         o_loy, o_hiy = _sane_minmax(roy)
@@ -1107,6 +1080,43 @@ def build_trace_sparse(p_ref, tbox_ref, rayin, trout, trouti, candst,
         jax.lax.fori_loop(0, (cnt + SC - 1) // SC, sbody, 0,
                           unroll=False)
         return cnt
+
+    return mask_and_compact
+
+
+def build_trace_sparse(p_ref, tbox_ref, rayin, trout, trouti, candst,
+                       C, TT, T, RS=_RS, p_hbm=None):
+    """Closest-hit trace that visits ONLY the triangle tiles whose AABB
+    a conservative ray-bundle interval can reach — the TPU-idiomatic
+    stand-in for the reference's hierarchical TLAS/BLAS descent
+    (Renderer.cu:460-561).  Per ray row:
+
+      1. bundle interval: lane min/max of origins and directions (NaN
+         lanes sanitized); axes whose direction interval spans 0 pass
+         conservatively;
+      2. vectorized slab test of the interval against ALL tile boxes at
+         once ((1, NT) lane-major ops over ``tbox_ref``);
+      3. stream compaction of the hit mask into a candidate tile list
+         (log-shift prefix sum + one-hot row reduce, no MXU);
+      4. the usual Baldwin-Weber tile sweep as a fori_loop with a
+         DYNAMIC trip count = candidate count — skipped tiles cost
+         nothing at all (vs ~0.1-0.3 us/iteration for a @pl.when skip).
+
+    The test is conservative per ROW (512 rays): coherent rows (primary
+    bundles on Morton-ordered pixels, short shadow segments) visit few
+    tiles; fully incoherent rows degrade to the dense sweep plus ~2-4 us
+    of mask/compaction overhead.  Correctness never depends on
+    coherence.  Scratch ``candst`` is (NT, 1) f32 (tile ids as exact
+    floats).  Same rayin/trout/trouti rotation contract as build_trace.
+
+    ``p_hbm``: (ptile_ref, dma_sem) for HBM-resident plane tables (big
+    scenes): each candidate tile's (TT, 16) rows are DMA'd into the
+    window before intersection — VMEM holds only the working tile, so
+    scene size is bounded by HBM, not VMEM."""
+    NT = tbox_ref.shape[1]
+    n_tri_tiles = T // TT
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (TT, C), 0)
+    _mask_and_compact = _make_bundle_compactor(tbox_ref, candst, C)
 
     def trace(ox, oy, oz, dx, dy, dz):
         ox, oy, oz, dx, dy, dz = jnp.broadcast_arrays(ox, oy, oz,
@@ -1249,6 +1259,136 @@ def build_trace_sparse(p_ref, tbox_ref, rayin, trout, trouti, candst,
     return trace
 
 
+def build_shadow_trace_sparse(p_ref, tbox_ref, rayin, distst, occout,
+                              candst, C, TT, T, RS=_RS, p_hbm=None):
+    """Occlusion-only sparse trace: build_shadow_trace's acceptance
+    semantics (no hit with t < dist−tol AND a hit within tol of dist,
+    tol = max(1e-4, dist·1e-3)) over ONLY the candidate tiles the
+    bundle's segment can reach — the compaction's ``seg_lim`` prunes
+    tiles whose conservative entry lies beyond every lane's segment, so
+    results are bit-identical to the dense shadow sweep.  Same rotation
+    contract as build_shadow_trace; shares the candidate machinery and
+    double-buffered HBM windows with build_trace_sparse."""
+    n_tri_tiles = T // TT
+    NT = tbox_ref.shape[1]
+    mask_and_compact = _make_bundle_compactor(tbox_ref, candst, C)
+
+    def visible(ox, oy, oz, dx, dy, dz, dist):
+        ox, oy, oz, dx, dy, dz, dist = jnp.broadcast_arrays(
+            ox, oy, oz, dx, dy, dz, dist)
+        rr = ox.shape[0]
+        assert rr <= RS
+        for ci, val in enumerate((ox, oy, oz, dx, dy, dz)):
+            rayin[ci * RS:ci * RS + rr, :] = val
+        distst[0:rr, :] = dist
+
+        def row_body(r, _):
+            rox = rayin[0 * RS:0 * RS + 1, :]
+            roy = rayin[1 * RS:1 * RS + 1, :]
+            roz = rayin[2 * RS:2 * RS + 1, :]
+            rdx = rayin[3 * RS:3 * RS + 1, :]
+            rdy = rayin[4 * RS:4 * RS + 1, :]
+            rdz = rayin[5 * RS:5 * RS + 1, :]
+            dr = distst[0:1, :]
+            tol = jnp.maximum(1e-4, dr * 1e-3)
+            lim_lo = dr - tol
+            lim_hi = dr + tol
+            seg = jnp.max(jnp.where(jnp.isfinite(lim_hi), lim_hi, 0.0))
+            cnt = mask_and_compact(rox, roy, roz, rdx, rdy, rdz,
+                                   seg_lim=seg)
+
+            def cand_k(j):
+                jc = jnp.clip(j, 0, NT - 1)
+                k = jnp.sum(candst[pl.ds(jc, 1), :]).astype(jnp.int32)
+                return jnp.clip(k, 0, n_tri_tiles - 1)
+
+            def scan(pt_col, valid, carry):
+                blk_c, rch_c = carry
+                pc = pt_col
+                o_n = pc(0) * rox + pc(1) * roy + pc(2) * roz + pc(3)
+                d_n = pc(0) * rdx + pc(1) * rdy + pc(2) * rdz
+                o_u = pc(4) * rox + pc(5) * roy + pc(6) * roz + pc(7)
+                d_u = pc(4) * rdx + pc(5) * rdy + pc(6) * rdz
+                o_v = pc(8) * rox + pc(9) * roy + pc(10) * roz + pc(11)
+                d_v = pc(8) * rdx + pc(9) * rdy + pc(10) * rdz
+                okp = jnp.abs(d_n) > 1e-12
+                t = -o_n / jnp.where(okp, d_n, 1.0)
+                uu = o_u + t * d_u
+                vv = o_v + t * d_v
+                hit = okp & (uu >= 0.0) & (vv >= 0.0) \
+                    & (uu + vv <= 1.0) & (t > 1e-4)
+                blk = jnp.max(jnp.where(hit & (t < lim_lo) & valid,
+                                        1.0, 0.0), axis=0, keepdims=True)
+                rch = jnp.max(jnp.where(
+                    hit & (t >= lim_lo) & (t <= lim_hi) & valid,
+                    1.0, 0.0), axis=0, keepdims=True)
+                return (jnp.maximum(blk_c, blk), jnp.maximum(rch_c, rch))
+
+            z1 = jnp.zeros((1, C), jnp.float32)
+            if p_hbm is None:
+                def tile_step(j, carry):
+                    k = cand_k(j)
+                    pt = p_ref[pl.ds(k * TT, TT), :]
+                    return scan(lambda jj: pt[:, jj:jj + 1],
+                                jnp.bool_(True), carry)
+
+                blk_n, rch_n = jax.lax.fori_loop(0, cnt, tile_step,
+                                                 (z1, z1), unroll=False)
+            else:
+                w0, w1, s0, s1 = p_hbm
+
+                def start(win, sem, k):
+                    pltpu.make_async_copy(
+                        p_ref.at[pl.ds(k * TT, TT), :], win, sem).start()
+
+                @pl.when(cnt > 0)
+                def _():
+                    start(w0, s0, cand_k(0))
+
+                def pair_step(p, carry):
+                    j0 = 2 * p
+                    j1 = j0 + 1
+                    k0 = cand_k(j0)
+                    k1 = cand_k(j1)
+
+                    @pl.when(j1 < cnt)
+                    def _():
+                        start(w1, s1, k1)
+
+                    pltpu.make_async_copy(
+                        p_ref.at[pl.ds(k0 * TT, TT), :], w0, s0).wait()
+                    carry = scan(lambda jj: w0[:, jj:jj + 1],
+                                 jnp.bool_(True), carry)
+
+                    @pl.when(j0 + 2 < cnt)
+                    def _():
+                        start(w0, s0, cand_k(j0 + 2))
+
+                    @pl.when(j1 < cnt)
+                    def _():
+                        pltpu.make_async_copy(
+                            p_ref.at[pl.ds(k1 * TT, TT), :], w1, s1).wait()
+                    carry = scan(lambda jj: w1[:, jj:jj + 1],
+                                 j1 < cnt, carry)
+                    return carry
+
+                blk_n, rch_n = jax.lax.fori_loop(
+                    0, (cnt + 1) // 2, pair_step, (z1, z1), unroll=False)
+
+            vis = jnp.where((blk_n < 0.5) & (rch_n > 0.5), 1.0, 0.0)
+            occout[:] = jnp.concatenate([occout[1:RS], vis], axis=0)
+            rayin[:] = jnp.concatenate(
+                [_rot_block(rayin[ci * RS:(ci + 1) * RS])
+                 for ci in range(6)], axis=0)
+            distst[:] = _rot_block(distst[:])
+            return 0
+
+        jax.lax.fori_loop(0, rr, row_body, 0, unroll=False)
+        return occout[RS - rr:RS, :] > 0.5
+
+    return visible
+
+
 def _lookup_chunk(n_entries: int, chunk: int = 0):
     """(n_chunks, csz) for the chunked one-hot fetch: csz is the largest
     128-multiple divisor of n_entries not exceeding the budget."""
@@ -1308,8 +1448,10 @@ def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX,
         # is 15.7 MB and overflows the 16 MB scoped-vmem budget alongside
         # the trace intermediates (measured compile OOM)
         n_chunks, csz = _lookup_chunk(n_entries, chunk)
-        assert hbm is None or n_chunks > 1, \
-            "HBM tables imply chunked fetches"
+        if hbm is not None and n_chunks == 1:
+            # small table forced onto the HBM path (tests force hbm at
+            # cornell size): the single "chunk" is the whole table
+            assert hbm[0].shape[1] >= csz, (hbm[0].shape, csz)
 
         def piece(at, r):
             p = at[r:r + 1, :]
@@ -1323,7 +1465,18 @@ def build_rows_lookup(lkin, bank, C, RS=_RS, nr_max=_NR_MAX,
             if n_chunks == 1:
                 iota_t = jax.lax.broadcasted_iota(jnp.int32, (csz, C), 0)
                 oh = (iota_t == idxg).astype(jnp.float32)
-                at = jnp.dot(table_ref[:], oh,
+                if hbm is None:
+                    tw = table_ref[:]
+                else:
+                    win, sem = hbm
+                    dma = pltpu.make_async_copy(
+                        table_ref.at[:, pl.ds(0, csz)],
+                        win.at[:, pl.ds(0, csz)] if win.shape[1] > csz
+                        else win, sem)
+                    dma.start()
+                    dma.wait()
+                    tw = win[:, :csz]
+                at = jnp.dot(tw, oh,
                              preferred_element_type=jnp.float32)
             else:
                 def cbody(q, acc):

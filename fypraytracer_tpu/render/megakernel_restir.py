@@ -59,12 +59,15 @@ from fypraytracer_tpu.render.megakernel import (
     build_raygen,
     build_rows_lookup,
     build_surf_lookup,
+    _lookup_chunk,
     build_tex_lookup,
     build_trace,
+    build_trace_sparse,
     morton_permuted_scene,
     prepare_scene_tables,
     prepare_texture_tables,
     prepare_tile_aabbs,
+    prepare_tile_boxes_lanes,
     scene_is_textured,
 )
 from fypraytracer_tpu.scene.types import Scene
@@ -169,15 +172,24 @@ def _res_update(res, cand, weight, count, pdf, u, active):
 def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
                               n_emissive: int, e_pad: int, n_frames: int,
                               tex_shapes=None, cull: bool = False,
+                              sparse: bool | None = None,
+                              hbm_tables: bool | None = None,
                               interpret: bool = False):
-    """Build ``render(cam, P, AT, EM, frame0, state[, TXP][, TAABB]) ->
-    (summed hdr (B, 3), new_state)``.
+    """Build ``render(cam, P, AT, EM, frame0, state[, TXP][, TAABB]
+    [, TBOX]) -> (summed hdr (B, 3), new_state)``.
 
     ``tex_shapes``: primary-level dims from ``prepare_texture_tables`` —
     DI fetches albedo maps only at the primary hit (K1, mip 0); K2 reads
     the fetched albedo back from the stage buffer.
     ``cull``: per-tile AABB trace culling (Morton-permuted tables +
-    ``prepare_tile_aabbs`` TAABB required)."""
+    ``prepare_tile_aabbs`` TAABB required).
+    ``sparse``/``hbm_tables``: big-scene path — the bundle-interval
+    sparse trace over HBM-resident plane/attribute tables (same design
+    as megakernel.py's, auto past 32k tris), so ReSTIR DI runs on scenes
+    whose tables exceed VMEM.  Requires a ``prepare_tile_boxes_lanes``
+    TBOX.  NOTE: the ReSTIR pixel->lane mapping stays LINEAR (spatial
+    neighbor indexing depends on it), so sparse DI doesn't get the
+    tiled-pixel-row candidate tightening."""
     B = width * height
     C = _pick_ray_lanes(B)
     TT = TRI_TILE
@@ -185,6 +197,16 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
     G = B // C
     RS = _RS
     n_tiles = T // TT
+    if sparse is None:
+        sparse = T >= 32768
+    if hbm_tables is None:
+        hbm_tables = T >= 32768
+    if hbm_tables:
+        assert sparse, "HBM-resident tables require the sparse trace"
+    if sparse:
+        cull = False   # sparse supersedes the @pl.when tile cull
+    NT = max(((n_tiles + 127) // 128) * 128, 128)
+    _, lk_csz = _lookup_chunk(T)
     textured = tex_shapes is not None
     sky = tuple(float(c) for c in settings.sky_color)
     M = settings.light_candidates
@@ -224,12 +246,19 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
         refs = refs[6:]
         txp_ref = refs.pop(0) if textured else None
         taabb_ref = refs.pop(0) if cull else None
+        tbox_ref = refs.pop(0) if sparse else None
         state_full_ref, stage_ref, rayin, trout, trouti, lkin, bank = refs[:7]
         refs = refs[7:]
         txin, txbank = ((refs.pop(0), refs.pop(0)) if textured
                         else (None, None))
         trst, trsti = ((refs.pop(0), refs.pop(0)) if cull
                        else (None, None))
+        candst = refs.pop(0) if sparse else None
+        if hbm_tables:
+            p_hbm = (refs.pop(0), refs.pop(0), refs.pop(0), refs.pop(0))
+            a_hbm = (refs.pop(0), refs.pop(0))
+        else:
+            p_hbm = a_hbm = None
         win_t0, win_t1, t_sem = ((refs.pop(0), refs.pop(0), refs.pop(0))
                                  if use_temporal else (None, None, None))
         tile = pl.program_id(0)
@@ -238,8 +267,13 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
         pix = tile * C + lane
         ox, oy, oz, dx, dy, dz = build_raygen(cam, width, height)(pix)
 
-        trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS,
-                            taabb=taabb_ref, trst=trst, trsti=trsti)
+        if sparse:
+            trace = build_trace_sparse(p_ref, tbox_ref, rayin, trout,
+                                       trouti, candst, C, TT, T, RS,
+                                       p_hbm=p_hbm)
+        else:
+            trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS,
+                                taabb=taabb_ref, trst=trst, trsti=trsti)
         rows_lookup = build_rows_lookup(lkin, bank, C, RS, _NR_MAX)
         tex = None
         if textured:
@@ -248,7 +282,7 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
                        shapes=(tex_shapes, tex_shapes))
         surf_lookup = build_surf_lookup(
             lambda idx, rows: rows_lookup(a_ref, T, idx, rows,
-                                          lo_map=_A_LO), tex=tex)
+                                          lo_map=_A_LO, hbm=a_hbm), tex=tex)
 
         t0, hit0, u0, v0, tri0 = trace(ox, oy, oz, dx, dy, dz)
         surf = surf_lookup(tri0, u0, v0)
@@ -385,17 +419,28 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
         cam_ref, frame_ref, offs_ref, p_ref, e_ref = refs[:5]
         refs = refs[5:]
         taabb_ref = refs.pop(0) if cull else None
+        tbox_ref = refs.pop(0) if sparse else None
         (stage_full_ref, hdr_ref, state_ref, rayin, trout, trouti,
          lkin, bank, win0, win1, dma_sem) = refs[:11]
-        trst, trsti = ((refs[11], refs[12]) if cull else (None, None))
+        refs = refs[11:]
+        trst, trsti = ((refs.pop(0), refs.pop(0)) if cull
+                       else (None, None))
+        candst = refs.pop(0) if sparse else None
+        p_hbm = ((refs.pop(0), refs.pop(0), refs.pop(0), refs.pop(0))
+                 if hbm_tables else None)
         tile = pl.program_id(0)
         cam = cam_ref[:]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
         pix = tile * C + lane
         px_i = pix % width
         py_i = pix // width
-        trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS,
-                            taabb=taabb_ref, trst=trst, trsti=trsti)
+        if sparse:
+            trace = build_trace_sparse(p_ref, tbox_ref, rayin, trout,
+                                       trouti, candst, C, TT, T, RS,
+                                       p_hbm=p_hbm)
+        else:
+            trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS,
+                                taabb=taabb_ref, trst=trst, trsti=trsti)
         rows_lookup = build_rows_lookup(lkin, bank, C, RS, _NR_MAX)
 
         def read_stage(q, win):
@@ -564,13 +609,35 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
         pltpu.VMEM((_NR_MAX * RS, C), jnp.float32),  # bank
     ]
 
-    def k1_call(cam, frame_arr, ppv, P, AT, EM, state, TXP=None, TAABB=None):
+    # big-scene scratch set: sparse candidate list + double-buffered HBM
+    # plane windows (+ attribute window for K1's surface lookups); order
+    # must match the kernels' pop order
+    sparse_scratches = ([pltpu.VMEM((NT, 1), jnp.float32)]  # candst
+                        if sparse else [])
+    p_hbm_scratches = ([
+        pltpu.VMEM((TT, 128), jnp.float32),               # ptile window 0
+        pltpu.VMEM((TT, 128), jnp.float32),               # ptile window 1
+        pltpu.SemaphoreType.DMA(()),                      # psem 0
+        pltpu.SemaphoreType.DMA(()),                      # psem 1
+    ] if hbm_tables else [])
+    a_hbm_scratches = ([
+        pltpu.VMEM((_A_ROWS_TOT, lk_csz), jnp.float32),   # at window
+        pltpu.SemaphoreType.DMA(()),                      # asem
+    ] if hbm_tables else [])
+    p_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_tables
+              else pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM))
+    a_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_tables
+              else pl.BlockSpec((_A_ROWS_TOT, T), full,
+                                memory_space=pltpu.VMEM))
+
+    def k1_call(cam, frame_arr, ppv, P, AT, EM, state, TXP=None, TAABB=None,
+                TBOX=None):
         in_specs = [
             pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_A_ROWS_TOT, T), full, memory_space=pltpu.VMEM),
+            p_spec,
+            a_spec,
             pl.BlockSpec((_E_ROWS_TOT, e_pad), full,
                          memory_space=pltpu.VMEM),
         ]
@@ -593,6 +660,12 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
                 pltpu.VMEM((RS, C), jnp.float32),       # trst
                 pltpu.VMEM((RS, C), jnp.int32),         # trsti
             ]
+        if sparse:
+            in_specs.append(pl.BlockSpec((8, NT), full,
+                                         memory_space=pltpu.VMEM))
+            args.append(TBOX)
+            k1_scratches += sparse_scratches + p_hbm_scratches \
+                + a_hbm_scratches
         if use_temporal:
             k1_scratches += [
                 pltpu.VMEM((_ST_ROWS, C), jnp.float32),  # win_t0
@@ -611,13 +684,13 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
             interpret=interpret,
         )(*args)
 
-    def k2_call(cam, frame_arr, offs, P, EM, stage, TAABB=None):
+    def k2_call(cam, frame_arr, offs, P, EM, stage, TAABB=None, TBOX=None):
         in_specs = [
             pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
             pl.BlockSpec((max(N_NBR, 1), 2), full,
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
+            p_spec,
             pl.BlockSpec((_E_ROWS_TOT, e_pad), full,
                          memory_space=pltpu.VMEM),
         ]
@@ -635,6 +708,11 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
                 pltpu.VMEM((RS, C), jnp.float32),    # trst
                 pltpu.VMEM((RS, C), jnp.int32),      # trsti
             ]
+        if sparse:
+            in_specs.append(pl.BlockSpec((8, NT), full,
+                                         memory_space=pltpu.VMEM))
+            args.append(TBOX)
+            k2_scratches += sparse_scratches + p_hbm_scratches
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # stage (HBM)
         args.append(stage)
         return pl.pallas_call(
@@ -649,7 +727,12 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
 
     @jax.jit
     def render(cam, P, AT, EM, frame0, state, ppv0=None, ppv1=None,
-               TXP=None, TAABB=None):
+               TXP=None, TAABB=None, TBOX=None):
+        if hbm_tables and P.shape[1] < 128:
+            # lane-align the HBM plane table for the per-tile DMA window
+            P = jnp.pad(P, ((0, 0), (0, 128 - P.shape[1])))
+        if sparse and TBOX.shape[1] < NT:
+            TBOX = jnp.pad(TBOX, ((0, 0), (0, NT - TBOX.shape[1])))
         # ppv0 = proj@view of the dispatch BEFORE this one, ppv1 = this
         # dispatch's (the camera is static within a dispatch, so frames
         # past the first reproject into the current pose)
@@ -666,7 +749,7 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
             ppv_pad = jnp.concatenate(
                 [ppv, jnp.zeros((4, 4), jnp.float32)], axis=0)
             stage = k1_call(cam, frame_arr, ppv_pad, P, AT, EM, st, TXP,
-                            TAABB)
+                            TAABB, TBOX)
             # frame-shared spatial offsets (see module docstring)
             okey = host_rng.path_key(jnp.uint32(0xD1CE), frame, 0,
                                      stream=7002)
@@ -677,7 +760,8 @@ def make_restir_di_megakernel(width: int, height: int, settings, n_tris: int,
                 offs.append(((ux * 2.0 - 1.0) * radius).astype(jnp.int32))
                 offs.append(((uy * 2.0 - 1.0) * radius).astype(jnp.int32))
             offs = jnp.stack(offs).reshape(max(N_NBR, 1), 2)
-            hdr, st2 = k2_call(cam, frame_arr, offs, P, EM, stage, TAABB)
+            hdr, st2 = k2_call(cam, frame_arr, offs, P, EM, stage, TAABB,
+                               TBOX)
             return accum + hdr, st2
 
         accum0 = jnp.zeros((G * 8, C), jnp.float32)
@@ -695,6 +779,15 @@ class MegakernelReSTIRDI:
         mscene, _ = morton_permuted_scene(scene)
         self.taabb = prepare_tile_aabbs(mscene, TRI_TILE)
         self.cull = self.taabb.shape[0] >= 8
+        # big scenes: dense VMEM tables don't fit past ~32k tris — switch
+        # to the sparse trace + HBM-resident tables (same threshold as
+        # MegakernelRenderer) so ReSTIR DI runs on e.g. the stress scene
+        n_tris = scene.geometry.tri_v.shape[0]
+        self.sparse = n_tris + ((-n_tris) % TRI_TILE) >= 32768
+        self.tbox = (prepare_tile_boxes_lanes(mscene, TRI_TILE)
+                     if self.sparse else None)
+        if self.sparse:
+            self.cull = False
         self.scene = jax.tree_util.tree_map(jnp.asarray, mscene)
         self.camera = camera
         self.settings = settings
@@ -719,15 +812,15 @@ class MegakernelReSTIRDI:
                 self.scene.geometry.tri_v.shape[0], self.n_emissive,
                 self.em_table.shape[1], n_frames,
                 tex_shapes=self.tex_shapes, cull=self.cull,
-                interpret=self.interpret)
+                sparse=self.sparse, interpret=self.interpret)
 
             # one jitted dispatch per batch (render + accumulate): eager
             # jnp ops cost tunnel round-trips on axon and dominated
             # short-dispatch (burst) timings
             def step(cam, P, AT, EM, f0, state, accum, ppv0, ppv1, TXP,
-                     TAABB):
+                     TAABB, TBOX):
                 summed, st = fn(cam, P, AT, EM, f0, state, ppv0=ppv0,
-                                ppv1=ppv1, TXP=TXP, TAABB=TAABB)
+                                ppv1=ppv1, TXP=TXP, TAABB=TAABB, TBOX=TBOX)
                 return accum + summed, st
 
             self._cache[n_frames] = jax.jit(step)
@@ -757,7 +850,7 @@ class MegakernelReSTIRDI:
                 self.state, self.accum,
                 jnp.asarray(self.camera.prev_proj_view),
                 jnp.asarray(self.camera.proj_view), self.tex_table,
-                self.taabb if self.cull else None)
+                self.taabb if self.cull else None, self.tbox)
             self.frame_index += f
         self.camera.commit_frame()
         h, w = self.camera.height, self.camera.width

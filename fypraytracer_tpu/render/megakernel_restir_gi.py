@@ -46,16 +46,20 @@ from fypraytracer_tpu.render.megakernel import (
     _pcg,
     _pick_ray_lanes,
     _u32,
+    _lookup_chunk,
     build_raygen,
     build_rows_lookup,
     build_shadow_trace,
+    build_shadow_trace_sparse,
     build_surf_lookup,
     build_tex_lookup,
     build_trace,
+    build_trace_sparse,
     morton_permuted_scene,
     prepare_scene_tables,
     prepare_texture_tables,
     prepare_tile_aabbs,
+    prepare_tile_boxes_lanes,
     scene_is_textured,
 )
 from fypraytracer_tpu.scene.types import Scene
@@ -849,6 +853,8 @@ def make_restir_gi_megakernel(width: int, height: int, settings, n_tris: int,
 
 def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
                         n_frames: int, tex_shapes=None, cull: bool = False,
+                        sparse: bool | None = None,
+                        hbm_tables: bool | None = None,
                         interpret: bool = False, final_vis: bool = True,
                         probe_fake_vis: bool = False,
                         probe_no_vis: bool = False,
@@ -895,6 +901,18 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
     radius = float(settings.spatial_radius)
     hist = float(settings.temporal_history_limit)
     use_temporal = settings.temporal_reuse
+    # big-scene path (same thresholds/design as megakernel.py): sparse
+    # bundle-interval traces over HBM-resident P/AT tables
+    if sparse is None:
+        sparse = T >= 32768
+    if hbm_tables is None:
+        hbm_tables = T >= 32768
+    if hbm_tables:
+        assert sparse, "HBM-resident tables require the sparse trace"
+    if sparse:
+        cull = False
+    NT = max(((n_tiles + 127) // 128) * 128, 128)
+    _, lk_csz = _lookup_chunk(T)
 
     def kernel(*refs):
         refs = list(refs)
@@ -903,6 +921,7 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
         txp_ref = refs.pop(0) if textured else None
         txb_ref = refs.pop(0) if textured else None
         taabb_ref = refs.pop(0) if cull else None
+        tbox_ref = refs.pop(0) if sparse else None
         state_prev_ref = refs.pop(0)     # ANY (HBM)
         stage_prev_ref = refs.pop(0)     # ANY (HBM)
         (hdr_ref, state_ref, stage_ref, rayin, trout, trouti, lkin,
@@ -913,7 +932,14 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
         trst, trsti = ((refs.pop(0), refs.pop(0)) if cull
                        else (None, None))
         (distst, occst, occout, nwin, nb_sems, win_t0, win_t1,
-         dma_sem) = refs
+         dma_sem) = refs[:8]
+        refs = refs[8:]
+        candst = refs.pop(0) if sparse else None
+        if hbm_tables:
+            p_hbm = (refs.pop(0), refs.pop(0), refs.pop(0), refs.pop(0))
+            a_hbm = (refs.pop(0), refs.pop(0))
+        else:
+            p_hbm = a_hbm = None
 
         tile = pl.program_id(0)
         cam = cam_ref[:]
@@ -923,11 +949,19 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
         py_i = pix // width
         ox, oy, oz, dx, dy, dz = build_raygen(cam, width, height)(pix)
 
-        trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS,
-                            taabb=taabb_ref, trst=trst, trsti=trsti)
-        shadow_visible = build_shadow_trace(p_ref, rayin, distst, occst,
-                                            occout, C, TT, T, RS,
-                                            taabb=taabb_ref)
+        if sparse:
+            trace = build_trace_sparse(p_ref, tbox_ref, rayin, trout,
+                                       trouti, candst, C, TT, T, RS,
+                                       p_hbm=p_hbm)
+            shadow_visible = build_shadow_trace_sparse(
+                p_ref, tbox_ref, rayin, distst, occout, candst, C, TT, T,
+                RS, p_hbm=p_hbm)
+        else:
+            trace = build_trace(p_ref, rayin, trout, trouti, C, TT, T, RS,
+                                taabb=taabb_ref, trst=trst, trsti=trsti)
+            shadow_visible = build_shadow_trace(p_ref, rayin, distst,
+                                                occst, occout, C, TT, T,
+                                                RS, taabb=taabb_ref)
         rows_lookup = build_rows_lookup(lkin, bank, C, RS, _NR_MAX)
         tex = None
         if textured:
@@ -935,7 +969,7 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
                        txp=txp_ref, txb=txb_ref, shapes=tex_shapes)
         surf_lookup = build_surf_lookup(
             lambda idx, rows: rows_lookup(a_ref, T, idx, rows,
-                                          lo_map=_A_LO), tex=tex)
+                                          lo_map=_A_LO, hbm=a_hbm), tex=tex)
 
         # ---- primary + initial path sample (as K1) ----------------------
         t0, hit0, u0, v0, tri0 = trace(ox, oy, oz, dx, dy, dz)
@@ -1384,15 +1418,21 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
     blocked = lambda rows: pl.BlockSpec((rows, C), lambda i: (i, 0),
                                         memory_space=pltpu.VMEM)
 
+    p_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_tables
+              else pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM))
+    a_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_tables
+              else pl.BlockSpec((_A_ROWS_TOT, T), full,
+                                memory_space=pltpu.VMEM))
+
     def k_call(cam, frame_arr, ppv, offs, P, AT, state, stage,
-               TXP=None, TXB=None, TAABB=None):
+               TXP=None, TXB=None, TAABB=None, TBOX=None):
         in_specs = [
             pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 4), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((max(N_NBR, 1), 2), full, memory_space=pltpu.SMEM),
-            pl.BlockSpec((T, 16), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_A_ROWS_TOT, T), full, memory_space=pltpu.VMEM),
+            p_spec,
+            a_spec,
         ]
         args = [cam, frame_arr, ppv, offs, P, AT]
         scr = [
@@ -1417,6 +1457,10 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
             args.append(TAABB)
             scr += [pltpu.VMEM((RS, C), jnp.float32),
                     pltpu.VMEM((RS, C), jnp.int32)]
+        if sparse:
+            in_specs.append(pl.BlockSpec((8, NT), full,
+                                         memory_space=pltpu.VMEM))
+            args.append(TBOX)
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # state_prev
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # stage_prev
         args.extend([state, stage])
@@ -1432,6 +1476,17 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
             pltpu.VMEM((_GST_ROWS, C), jnp.float32),     # win_t1
             pltpu.SemaphoreType.DMA(()),
         ]
+        if sparse:
+            scr += [pltpu.VMEM((NT, 1), jnp.float32)]    # candst
+        if hbm_tables:
+            scr += [
+                pltpu.VMEM((TT, 128), jnp.float32),      # ptile window 0
+                pltpu.VMEM((TT, 128), jnp.float32),      # ptile window 1
+                pltpu.SemaphoreType.DMA(()),             # psem 0
+                pltpu.SemaphoreType.DMA(()),             # psem 1
+                pltpu.VMEM((_A_ROWS_TOT, lk_csz), jnp.float32),  # at win
+                pltpu.SemaphoreType.DMA(()),             # asem
+            ]
         return pl.pallas_call(
             kernel, grid=grid,
             in_specs=in_specs,
@@ -1445,11 +1500,16 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
 
     @jax.jit
     def render(cam, P, AT, frame0, state, stage, ppv0=None, ppv1=None,
-               TXP=None, TXB=None, TAABB=None):
+               TXP=None, TXB=None, TAABB=None, TBOX=None):
         if ppv0 is None:
             ppv0 = jnp.eye(4, dtype=jnp.float32)
         if ppv1 is None:
             ppv1 = ppv0
+        if hbm_tables and P.shape[1] < 128:
+            # lane-align the HBM plane table for the per-tile DMA window
+            P = jnp.pad(P, ((0, 0), (0, 128 - P.shape[1])))
+        if sparse and TBOX.shape[1] < NT:
+            TBOX = jnp.pad(TBOX, ((0, 0), (0, NT - TBOX.shape[1])))
 
         def body(fi, carry):
             accum, st, sg = carry
@@ -1468,7 +1528,7 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
                 offs.append(((uy * 2.0 - 1.0) * radius).astype(jnp.int32))
             offs = jnp.stack(offs).reshape(max(N_NBR, 1), 2)
             hdr, st2, sg2 = k_call(cam, frame_arr, ppv_pad, offs, P, AT,
-                                   st, sg, TXP, TXB, TAABB)
+                                   st, sg, TXP, TXB, TAABB, TBOX)
             return accum + hdr, st2, sg2
 
         accum0 = jnp.zeros((G * 8, C), jnp.float32)
@@ -1513,6 +1573,12 @@ class MegakernelReSTIRGI:
         mscene, _ = morton_permuted_scene(scene)
         n_tris = mscene.geometry.tri_v.shape[0]
         n_tiles = (n_tris + TRI_TILE - 1) // TRI_TILE
+        # big scenes: sparse trace + HBM tables (mono kernel only; the
+        # 3-kernel pipeline stays dense) — same threshold as the other
+        # megakernel renderers
+        self.sparse = n_tris + ((-n_tris) % TRI_TILE) >= 32768
+        self.tbox = (prepare_tile_boxes_lanes(mscene, TRI_TILE)
+                     if self.sparse else None)
         # cull default mirrors make_megakernel: the culled trace variant
         # carries hit state through VMEM scratch (pl.when-skippable tile
         # bodies force memory-carried loops in the Mosaic lowering, see
@@ -1532,6 +1598,10 @@ class MegakernelReSTIRGI:
         env_mono = os.environ.get("FYP_GI_MONO")
         self.mono = ((bool(int(env_mono)) if env_mono is not None else True)
                      if mono is None else mono)
+        if self.sparse and not self.mono:
+            raise ValueError(
+                "big-scene (sparse/HBM) ReSTIR GI requires the mono "
+                "kernel; the 3-kernel pipeline only supports VMEM tables")
         self.frame_index = 1
         self.tables = prepare_scene_tables(self.scene)
         self.tex_tables = self.tex_shapes = None
@@ -1552,7 +1622,8 @@ class MegakernelReSTIRGI:
                 probes = dict(probe_fake_vis=self.probe_fake_vis,
                               probe_no_vis=self.probe_no_vis,
                               probe_closest_vis=self.probe_closest_vis,
-                              final_vis=self.final_vis)
+                              final_vis=self.final_vis,
+                              sparse=self.sparse)
             else:
                 make = make_restir_gi_megakernel
                 probes = dict(probe_split_vis=self.probe_split_vis)
@@ -1567,14 +1638,14 @@ class MegakernelReSTIRGI:
             # short-dispatch (burst) timings
             if self.mono:
                 def step(cam, P, AT, f0, state, stage, accum, ppv0, ppv1,
-                         TXP, TXB, TAABB):
+                         TXP, TXB, TAABB, TBOX):
                     summed, st, sg = fn(cam, P, AT, f0, state, stage,
                                         ppv0=ppv0, ppv1=ppv1, TXP=TXP,
-                                        TXB=TXB, TAABB=TAABB)
+                                        TXB=TXB, TAABB=TAABB, TBOX=TBOX)
                     return accum + summed, st, sg
             else:
                 def step(cam, P, AT, f0, state, stage, accum, ppv0, ppv1,
-                         TXP, TXB, TAABB):
+                         TXP, TXB, TAABB, TBOX):
                     summed, st = fn(cam, P, AT, f0, state, ppv0=ppv0,
                                     ppv1=ppv1, TXP=TXP, TXB=TXB,
                                     TAABB=TAABB)
@@ -1607,7 +1678,8 @@ class MegakernelReSTIRGI:
         for f in self.dispatch_plan(n_frames):
             self.accum, self.state, self.stage = self._renderer(f)(
                 cam, P, AT, jnp.uint32(self.frame_index), self.state,
-                self.stage, self.accum, ppv0, ppv1, txp, txb, self.taabb)
+                self.stage, self.accum, ppv0, ppv1, txp, txb, self.taabb,
+                self.tbox)
             self.frame_index += f
         self.camera.commit_frame()
         h, w = self.camera.height, self.camera.width

@@ -27,6 +27,88 @@ def test_megakernel_restir_di_unbiased_vs_light_sampling():
     assert rel < 0.05, (avg.mean(), ref.mean())
 
 
+def test_megakernel_restir_di_sparse_hbm_parity():
+    """The big-scene ReSTIR DI path (sparse bundle-interval trace +
+    HBM-resident P/AT tables, forced here at cornell size) must be
+    bit-identical to the dense VMEM kernel — same contract as the NEE
+    megakernel's test_room_hbm_sparse_parity."""
+    import jax
+    import jax.numpy as jnp
+
+    from fypraytracer_tpu.render import megakernel as MK
+    from fypraytracer_tpu.render import megakernel_restir as MR
+
+    builder, cam = cornell_box(width=32, height=32)
+    scene = builder.compile()
+    settings = RenderSettings(technique=SamplingTechnique.RESTIR_DI,
+                              light_candidates=4, spatial_neighbors=3,
+                              spatial_radius=8)
+    mscene, _ = MK.morton_permuted_scene(scene)
+    dscene = jax.tree_util.tree_map(jnp.asarray, mscene)
+    P, AT = MK.prepare_scene_tables(dscene)
+    EM, n_em = MR.prepare_emissive_table(dscene)
+    tbox = MK.prepare_tile_boxes_lanes(mscene, MK.TRI_TILE)
+    cam_m = jnp.concatenate([jnp.asarray(cam.inv_projection),
+                             jnp.asarray(cam.inv_view)], axis=0)
+    T = scene.geometry.tri_v.shape[0]
+    B = 32 * 32
+    C = MR._pick_ray_lanes(B)
+    state0 = jnp.zeros((B // C * MR._ST_ROWS, C), jnp.float32)
+    common = dict(tex_shapes=None, interpret=True)
+    outs = []
+    for kw in (dict(sparse=False, hbm_tables=False, cull=False),
+               dict(sparse=True, hbm_tables=False),
+               dict(sparse=True, hbm_tables=True)):
+        fn = MR.make_restir_di_megakernel(
+            32, 32, settings, T, n_em, EM.shape[1], 4, **common, **kw)
+        hdr, st = fn(cam_m, P, AT, EM, jnp.uint32(1), state0,
+                     TBOX=tbox if kw.get("sparse") else None)
+        outs.append((np.asarray(hdr), np.asarray(st)))
+    assert outs[0][0].mean() > 0.01
+    for hdr, st in outs[1:]:
+        np.testing.assert_array_equal(outs[0][0], hdr)
+        np.testing.assert_array_equal(outs[0][1], st)
+
+
+def test_megakernel_restir_gi_sparse_hbm_parity():
+    """Big-scene ReSTIR GI (mono kernel, sparse trace + sparse shadow
+    visibility + HBM tables, forced at cornell size) is bit-identical to
+    the dense mono kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from fypraytracer_tpu.render import megakernel as MK
+    from fypraytracer_tpu.render import megakernel_restir_gi as MG
+
+    builder, cam = cornell_box(width=32, height=32)
+    scene = builder.compile()
+    settings = RenderSettings(technique=SamplingTechnique.RESTIR_GI,
+                              bounces=2, spatial_neighbors=3,
+                              spatial_radius=8)
+    mscene, _ = MK.morton_permuted_scene(scene)
+    dscene = jax.tree_util.tree_map(jnp.asarray, mscene)
+    P, AT = MK.prepare_scene_tables(dscene)
+    tbox = MK.prepare_tile_boxes_lanes(mscene, MK.TRI_TILE)
+    cam_m = jnp.concatenate([jnp.asarray(cam.inv_projection),
+                             jnp.asarray(cam.inv_view)], axis=0)
+    T = scene.geometry.tri_v.shape[0]
+    B = 32 * 32
+    C = MG._pick_ray_lanes(B)
+    state0 = jnp.zeros((B // C * MG._GST_ROWS, C), jnp.float32)
+    stage0 = jnp.zeros((B // C * MG._GS_ROWS, C), jnp.float32)
+    outs = []
+    for kw in (dict(sparse=False, hbm_tables=False),
+               dict(sparse=True, hbm_tables=True)):
+        fn = MG.make_restir_gi_mono(32, 32, settings, T, 4,
+                                    interpret=True, **kw)
+        hdr, st, sg = fn(cam_m, P, AT, jnp.uint32(1), state0, stage0,
+                         TBOX=tbox if kw.get("sparse") else None)
+        outs.append((np.asarray(hdr), np.asarray(st), np.asarray(sg)))
+    assert outs[0][0].mean() > 0.001
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_megakernel_restir_di_batches_continue_state():
     from fypraytracer_tpu.render.megakernel_restir import MegakernelReSTIRDI
 
