@@ -79,6 +79,60 @@ def sharded_render(scene: Scene, mesh: Mesh, width: int, height: int,
     return render
 
 
+def sharded_megakernel_render(scene: Scene, mesh: Mesh, width: int,
+                              height: int, settings, n_frames: int,
+                              interpret: bool = False, axis: str = "px"):
+    """The multi-chip FAST path: the fused Pallas megakernel sharded over
+    the pixel axis — each device renders a contiguous pixel-row slab via
+    the kernel's chunk entry (an SMEM pixel offset = this shard's
+    ``axis_index``), with the scene tables replicated.  Bit-identical to
+    the single-device megakernel (the chunk split is already proven
+    bit-identical, tests/test_chunked.py); output comes back sharded over
+    ``axis`` so image assembly is the XLA output layout, not a gather.
+
+    Returns ``render(cam_mats, frame0) -> (H*W, 3) hdr summed over
+    ``n_frames`` frames``.  Single-GPU reference has nothing comparable —
+    this is the SURVEY §2.7 pixel-grid data parallelism row on the
+    speed-of-light path.
+    """
+    from fypraytracer_tpu.render import megakernel as MK
+
+    n_dev = mesh.devices.size
+    B = width * height
+    C = MK._pick_ray_lanes(B)
+    S = B // C
+    assert S % n_dev == 0, f"{S} kernel rows not divisible by {n_dev}"
+    CH = S // n_dev
+
+    mscene, _ = MK.morton_permuted_scene(
+        jax.tree_util.tree_map(np.asarray, scene))
+    dscene = jax.tree_util.tree_map(jnp.asarray, mscene)
+    Pt, AT = MK.prepare_scene_tables(dscene)
+    L, depth = MK.prepare_light_table(dscene)
+    sampler = {0: "uniform", 1: "uniform", 2: "cosine", 3: "ggx",
+               4: "brdf", 5: "light", 6: "nee"}[int(settings.technique)]
+    samples = 1 if int(settings.technique) == 0 else settings.samples
+    fn = MK.make_megakernel(
+        width, height, settings.bounces, samples, settings.sky_color,
+        n_frames, dscene.geometry.tri_v.shape[0], sampler=sampler,
+        n_light_nodes=L.shape[1], light_depth=depth,
+        frame_group=MK._pick_frame_group(n_frames), ray_lanes=C,
+        chunk_rows=CH, tiled_pixels=False, interpret=interpret)
+
+    def body(cam_mats, frame0):
+        pix0 = jax.lax.axis_index(axis).astype(jnp.int32) * (CH * C)
+        return fn(cam_mats, Pt, AT, frame0, L=L, pix0=pix0)
+
+    shard_body = jax.shard_map(body, mesh=mesh, in_specs=(P(), P()),
+                               out_specs=P(axis), check_vma=False)
+
+    @jax.jit
+    def render(cam_mats, frame0):
+        return shard_body(cam_mats, frame0)
+
+    return render
+
+
 # ---------------------------------------------------------------------------
 # Differentiable training step (inverse rendering), data-parallel
 # ---------------------------------------------------------------------------

@@ -2366,7 +2366,12 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
 
     @jax.jit
     def render(cam_mats, P, AT, frame0, L=None, TXP=None, TXB=None,
-               TAABB=None, TBOX=None):
+               TAABB=None, TBOX=None, pix0=None):
+        """``pix0`` (chunked builds only): render exactly ONE CH-row slab
+        starting at that pixel offset, returning (CH*C, 3) — the
+        device-sharding entry point (parallel/shard.py wraps it in
+        shard_map with pix0 = axis_index * slab size; the lax.map path
+        below runs the same slabs sequentially on one device)."""
         if hbm_tables and P.shape[1] < 128:
             # lane-align the HBM plane table for the per-tile DMA window
             P = jnp.pad(P, ((0, 0), (0, 128 - P.shape[1])))
@@ -2403,6 +2408,12 @@ def make_megakernel(width: int, height: int, bounces: int, samples: int,
             compiler_params=cparams,
             interpret=interpret,
         )
+        if CH and pix0 is not None:
+            assert not tiled_pixels, "sharded slabs use the linear map"
+            out = call(args[0], args[1],
+                       pix0.reshape(1, 1).astype(jnp.int32), *args[2:])
+            out = out.reshape(CH, 8, C)[:, :3, :]
+            return out.transpose(0, 2, 1).reshape(CH * C, 3)
         if CH:
             tail = args[2:]
 

@@ -12,6 +12,46 @@ from fypraytracer_tpu.config import RenderSettings, SamplingTechnique
 from fypraytracer_tpu.scene.procedural import cornell_box
 
 
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_megakernel_matches_single_chip(n_devices):
+    """The multi-chip FAST path (Pallas megakernel inside shard_map, one
+    pixel-row slab per device, scene replicated) must be bit-identical
+    to the single-device megakernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from fypraytracer_tpu.parallel.shard import (
+        make_pixel_mesh, sharded_megakernel_render)
+    from fypraytracer_tpu.render import megakernel as MK
+
+    builder, cam = cornell_box(width=64, height=64)
+    scene = builder.compile()
+    settings = RenderSettings(technique=SamplingTechnique.NEE_MIS,
+                              bounces=2, samples=1,
+                              sky_color=(0.05, 0.06, 0.08))
+    cam_mats = jnp.concatenate([jnp.asarray(cam.inv_projection),
+                                jnp.asarray(cam.inv_view)], axis=0)
+    frame0 = jnp.asarray([[1]], jnp.int32)
+
+    mesh = make_pixel_mesh(jax.devices()[:n_devices])
+    render = sharded_megakernel_render(scene, mesh, 64, 64, settings,
+                                       n_frames=8, interpret=True)
+    sharded = np.asarray(render(cam_mats, frame0))
+
+    # single-device reference (unchunked)
+    mscene, _ = MK.morton_permuted_scene(scene)
+    dscene = jax.tree_util.tree_map(jnp.asarray, mscene)
+    P, AT = MK.prepare_scene_tables(dscene)
+    L, depth = MK.prepare_light_table(dscene)
+    ref = np.asarray(MK.make_megakernel(
+        64, 64, bounces=2, samples=1, sky_color=(0.05, 0.06, 0.08),
+        n_frames=8, n_tris=scene.geometry.tri_v.shape[0], sampler="nee",
+        n_light_nodes=L.shape[1], light_depth=depth, frame_group=8,
+        ray_lanes=512, interpret=True)(cam_mats, P, AT, frame0, L=L))
+    assert ref.mean() > 0.01
+    np.testing.assert_array_equal(sharded, ref)
+
+
 @pytest.mark.parametrize("n_devices", [2, 4, 8])
 def test_sharded_restir_di_matches_single_chip(n_devices):
     import jax
