@@ -112,16 +112,23 @@ def sharded_megakernel_render(scene: Scene, mesh: Mesh, width: int,
     sampler = {0: "uniform", 1: "uniform", 2: "cosine", 3: "ggx",
                4: "brdf", 5: "light", 6: "nee"}[int(settings.technique)]
     samples = 1 if int(settings.technique) == 0 else settings.samples
+    n_tris = dscene.geometry.tri_v.shape[0]
+    # big scenes: sparse trace + HBM tables (same threshold as
+    # MegakernelRenderer)
+    sparse = n_tris + ((-n_tris) % MK.TRI_TILE) >= 32768
+    tbox = (MK.prepare_tile_boxes_lanes(mscene, MK.TRI_TILE)
+            if sparse else None)
     fn = MK.make_megakernel(
         width, height, settings.bounces, samples, settings.sky_color,
-        n_frames, dscene.geometry.tri_v.shape[0], sampler=sampler,
+        n_frames, n_tris, sampler=sampler,
         n_light_nodes=L.shape[1], light_depth=depth,
         frame_group=MK._pick_frame_group(n_frames), ray_lanes=C,
-        chunk_rows=CH, tiled_pixels=False, interpret=interpret)
+        chunk_rows=CH, sparse=sparse, tiled_pixels=False,
+        interpret=interpret)
 
     def body(cam_mats, frame0):
         pix0 = jax.lax.axis_index(axis).astype(jnp.int32) * (CH * C)
-        return fn(cam_mats, Pt, AT, frame0, L=L, pix0=pix0)
+        return fn(cam_mats, Pt, AT, frame0, L=L, TBOX=tbox, pix0=pix0)
 
     shard_body = jax.shard_map(body, mesh=mesh, in_specs=(P(), P()),
                                out_specs=P(axis), check_vma=False)
