@@ -32,8 +32,10 @@ WIDTH = HEIGHT = 256
 BOUNCES = 2
 SAMPLES = 1
 FRAMES = 64
-MEGAKERNEL_BUDGET_S = 1500   # two remote compiles (~3-5 min each on a
-                             # cold cache) + the idle-ladder reps
+MEGAKERNEL_BUDGET_S = 2400   # the remote compile service's latency is
+                             # wildly variable (a cold-cache NEE compile
+                             # has taken 20+ min); warm-cache runs finish
+                             # in ~5 min
 
 
 def _fence(x):
@@ -94,7 +96,7 @@ def _measure(renderer):
     """
     _fence(renderer.render_many(FRAMES))  # warmup/compile
     best = _timed_dispatch(renderer, FRAMES)
-    for idle in (0.5, 2.5, 30.0):
+    for idle in (0.5, 2.5, 30.0, 120.0):
         time.sleep(idle)
         best = min(best, _timed_dispatch(renderer, FRAMES))
     # throttle-state detection with a short dispatch (separate compile,
