@@ -214,6 +214,11 @@ def cmd_render(args):
 def cmd_benchmark(args):
     """Equal-budget comparison across techniques (the reference's whole
     purpose, README.md:5-7)."""
+    if args.burst and args.frames is None:
+        # the burst protocol dispatches fixed frame batches; a seconds
+        # budget would silently fall through to the wavefront path and
+        # report throttled timings as if the protocol ran
+        raise SystemExit("--burst requires --frames (not --seconds)")
     scene, cam = _load_scene(args)
     techniques = (args.techniques.split(",") if args.techniques
                   else ["uniform", "cosine", "ggx", "brdf", "light", "nee",

@@ -1109,10 +1109,11 @@ def build_trace_sparse(p_ref, tbox_ref, rayin, trout, trouti, candst,
     coherence.  Scratch ``candst`` is (NT, 1) f32 (tile ids as exact
     floats).  Same rayin/trout/trouti rotation contract as build_trace.
 
-    ``p_hbm``: (ptile_ref, dma_sem) for HBM-resident plane tables (big
-    scenes): each candidate tile's (TT, 16) rows are DMA'd into the
-    window before intersection — VMEM holds only the working tile, so
-    scene size is bounded by HBM, not VMEM."""
+    ``p_hbm``: (win0, win1, sem0, sem1) — TWO (TT, 128) VMEM windows +
+    DMA semaphores for HBM-resident plane tables (big scenes): candidate
+    tiles are processed in pairs with the next tile's rows streaming into
+    the other window while the current one is intersected, so VMEM holds
+    only the two working tiles and scene size is bounded by HBM."""
     NT = tbox_ref.shape[1]
     n_tri_tiles = T // TT
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (TT, C), 0)
@@ -2468,16 +2469,30 @@ def _finish_avg(accum, n):
 
 
 def estimate_frame_ms(num_pixels: int, ray_lanes: int, n_tris: int,
-                      tri_tile: int = TRI_TILE) -> float:
+                      tri_tile: int = TRI_TILE, sweeps: float = 5.0) -> float:
     """Crude per-frame device-time model for dispatch planning: the trace
-    sweep dominates, at ~2 µs per (ray row × triangle tile) iteration.
-    Calibrated against measured burst numbers (BASELINE.md round 3):
-    cornell 256² ≈ 1 ms, room 256² ≈ 5, cornell 1080p ≈ 32, stress 256²
-    ≈ 190.  Only used to bound frames-per-dispatch — a 2× error is
-    harmless (the watchdog budget has ~5× headroom)."""
+    sweeps dominate, at ~0.4 µs per (ray row × triangle tile × sweep)
+    iteration.  ``sweeps`` = trace sweeps per frame — the NEE flagship
+    (2 bounces, 1 spp: primary + 2 shadow + 2 bounce = 5) is the
+    calibration point: cornell 256² ≈ 1 ms, room 256² ≈ 5, cornell
+    1080p ≈ 32, stress 256² ≈ 190 (BASELINE.md round 3).  Callers scale
+    ``sweeps`` with their technique/bounces/samples so heavy configs
+    don't under-plan (the watchdog budget has ~5× headroom on top)."""
     s_rows = max(num_pixels // ray_lanes, 1)
     t_pad = n_tris + ((-n_tris) % tri_tile)
-    return 0.002 * s_rows * max(t_pad // tri_tile, 1)
+    return 0.0004 * s_rows * max(t_pad // tri_tile, 1) * max(sweeps, 1.0)
+
+
+def make_dispatch_plan(camera, n_tris: int, n_frames: int,
+                       sweeps: float = 5.0) -> list:
+    """Shared frames-per-dispatch planner for every megakernel renderer
+    class (one implementation — a missed copy of the estimator would
+    leave a renderer family under-planning, ADVICE-class risk)."""
+    est = estimate_frame_ms(
+        camera.width * camera.height,
+        _pick_ray_lanes(camera.width * camera.height), n_tris,
+        sweeps=sweeps)
+    return plan_dispatch_frames(n_frames, est)
 
 
 def plan_dispatch_frames(n_frames: int, est_ms_per_frame: float,
@@ -2592,11 +2607,12 @@ class MegakernelRenderer:
         """Frames-per-dispatch plan for ``render_many`` — bounded by the
         estimated per-dispatch device time so no frame budget can trip
         the runtime's single-dispatch watchdog (PERF.md #24)."""
-        est = estimate_frame_ms(
-            self.camera.width * self.camera.height,
-            _pick_ray_lanes(self.camera.width * self.camera.height),
-            self.scene.geometry.tri_v.shape[0])
-        return plan_dispatch_frames(n_frames, est)
+        samples = 1 if int(self.settings.technique) == 0 \
+            else self.settings.samples
+        sweeps = 1 + samples * 2 * max(self.settings.bounces, 1)
+        return make_dispatch_plan(self.camera,
+                                  self.scene.geometry.tri_v.shape[0],
+                                  n_frames, sweeps=sweeps)
 
     def render_many(self, n_frames: int):
         cam_mats = jnp.concatenate([

@@ -828,15 +828,13 @@ class MegakernelReSTIRDI:
 
     def dispatch_plan(self, n_frames) -> list:
         """Frames-per-dispatch plan bounded by estimated device time so no
-        frame budget trips the runtime watchdog (PERF.md #24)."""
-        from fypraytracer_tpu.render.megakernel import (
-            estimate_frame_ms, plan_dispatch_frames)
+        frame budget trips the runtime watchdog (PERF.md #24).  DI traces
+        ~2 sweeps/frame (primary + final shadow)."""
+        from fypraytracer_tpu.render.megakernel import make_dispatch_plan
 
-        est = estimate_frame_ms(
-            self.camera.width * self.camera.height,
-            _pick_ray_lanes(self.camera.width * self.camera.height),
-            self.scene.geometry.tri_v.shape[0])
-        return plan_dispatch_frames(n_frames, est)
+        return make_dispatch_plan(self.camera,
+                                  self.scene.geometry.tri_v.shape[0],
+                                  n_frames, sweeps=2.0)
 
     def render_many(self, n_frames):
         from fypraytracer_tpu.render.megakernel import _finish_avg
@@ -844,12 +842,16 @@ class MegakernelReSTIRDI:
         cam = jnp.concatenate([jnp.asarray(self.camera.inv_projection),
                                jnp.asarray(self.camera.inv_view)], axis=0)
         P, AT = self.tables
-        for f in self.dispatch_plan(n_frames):
+        ppv_prev = jnp.asarray(self.camera.prev_proj_view)
+        ppv_cur = jnp.asarray(self.camera.proj_view)
+        for i, f in enumerate(self.dispatch_plan(n_frames)):
+            # chunks after the first rendered their previous frame at the
+            # CURRENT pose — reprojection must use it, not the pre-move
+            # pose (only chunk 1's first frame looks back across the move)
             self.accum, self.state = self._renderer(f)(
                 cam, P, AT, self.em_table, jnp.uint32(self.frame_index),
                 self.state, self.accum,
-                jnp.asarray(self.camera.prev_proj_view),
-                jnp.asarray(self.camera.proj_view), self.tex_table,
+                ppv_prev if i == 0 else ppv_cur, ppv_cur, self.tex_table,
                 self.taabb if self.cull else None, self.tbox)
             self.frame_index += f
         self.camera.commit_frame()

@@ -1656,15 +1656,17 @@ class MegakernelReSTIRGI:
 
     def dispatch_plan(self, n_frames) -> list:
         """Frames-per-dispatch plan bounded by estimated device time so no
-        frame budget trips the runtime watchdog (PERF.md #24)."""
-        from fypraytracer_tpu.render.megakernel import (
-            estimate_frame_ms, plan_dispatch_frames)
+        frame budget trips the runtime watchdog (PERF.md #24).  GI mono
+        traces primary + path bounces + light shadow + per-neighbor (or
+        single final) visibility sweeps per frame."""
+        from fypraytracer_tpu.render.megakernel import make_dispatch_plan
 
-        est = estimate_frame_ms(
-            self.camera.width * self.camera.height,
-            _pick_ray_lanes(self.camera.width * self.camera.height),
-            self.scene.geometry.tri_v.shape[0])
-        return plan_dispatch_frames(n_frames, est)
+        vis = (1 if self.final_vis
+               else max(self.settings.spatial_neighbors, 1))
+        sweeps = 2 + max(self.settings.bounces, 1) + vis
+        return make_dispatch_plan(self.camera,
+                                  self.scene.geometry.tri_v.shape[0],
+                                  n_frames, sweeps=float(sweeps))
 
     def render_many(self, n_frames):
         from fypraytracer_tpu.render.megakernel import _finish_avg
@@ -1673,13 +1675,17 @@ class MegakernelReSTIRGI:
                                jnp.asarray(self.camera.inv_view)], axis=0)
         P, AT = self.tables
         txp, txb = self.tex_tables if self.tex_tables else (None, None)
-        ppv0 = jnp.asarray(self.camera.prev_proj_view)
-        ppv1 = jnp.asarray(self.camera.proj_view)
-        for f in self.dispatch_plan(n_frames):
+        ppv_prev = jnp.asarray(self.camera.prev_proj_view)
+        ppv_cur = jnp.asarray(self.camera.proj_view)
+        for i, f in enumerate(self.dispatch_plan(n_frames)):
+            # chunks after the first rendered their previous frame at the
+            # CURRENT pose — reprojection must use it, not the pre-move
+            # pose (only chunk 1's first frame looks back across the move)
             self.accum, self.state, self.stage = self._renderer(f)(
                 cam, P, AT, jnp.uint32(self.frame_index), self.state,
-                self.stage, self.accum, ppv0, ppv1, txp, txb, self.taabb,
-                self.tbox)
+                self.stage, self.accum,
+                ppv_prev if i == 0 else ppv_cur, ppv_cur,
+                txp, txb, self.taabb, self.tbox)
             self.frame_index += f
         self.camera.commit_frame()
         h, w = self.camera.height, self.camera.width
