@@ -109,6 +109,35 @@ def test_megakernel_restir_gi_sparse_hbm_parity():
         np.testing.assert_array_equal(a, b)
 
 
+def test_megakernel_restir_di_chunked_matches_monolithic_after_move():
+    """When dispatch planning splits a frame budget, chunks after the
+    first must reproject from the CURRENT pose (their actual previous
+    frame), not the pre-move pose — a split render after a camera move
+    must be bit-identical to the monolithic dispatch."""
+    from fypraytracer_tpu.render.megakernel_restir import MegakernelReSTIRDI
+
+    settings = RenderSettings(technique=SamplingTechnique.RESTIR_DI,
+                              light_candidates=4, spatial_neighbors=3,
+                              spatial_radius=8)
+
+    def run(plan):
+        builder, cam = cornell_box(width=32, height=32, with_spheres=False)
+        scene = builder.compile()
+        mk = MegakernelReSTIRDI(scene, cam, settings, interpret=True)
+        mk.render_many(2)                      # warm history at pose 0
+        mk.camera.move_to((0.15, 1.0, 2.6))    # move -> reprojection case
+        if plan is not None:
+            mk.dispatch_plan = lambda n: plan
+        return np.asarray(mk.render_many(4))
+
+    mono = run(None)            # single 4-frame dispatch
+    split = run([2, 2])         # forced chunking
+    assert np.isfinite(mono).all() and mono.mean() > 0.001
+    # 1-ulp accumulation-order slack only ((a+s2)+s2 vs a+s4); a stale
+    # pre-move ppv0 in chunk 2 produces O(1) pixel differences
+    np.testing.assert_allclose(mono, split, atol=1e-6, rtol=1e-5)
+
+
 def test_megakernel_restir_di_batches_continue_state():
     from fypraytracer_tpu.render.megakernel_restir import MegakernelReSTIRDI
 
