@@ -129,6 +129,19 @@ def test_burst_run_protocol():
     assert avg.shape == (8, 8, 3)
 
 
+def test_cli_burst_requires_frames():
+    """--burst with a seconds budget must error, not silently report
+    non-burst wavefront timings as the burst protocol."""
+    import pytest
+
+    from fypraytracer_tpu.app.cli import main
+
+    with pytest.raises(SystemExit, match="frames"):
+        main(["benchmark", "--scene", "cornell-empty", "--width", "24",
+              "--height", "24", "--techniques", "cosine", "--seconds",
+              "1", "--burst", "8", "--golden-frames", "0"])
+
+
 def test_cli_benchmark_timing_only(tmp_path):
     """--golden-frames 0 skips the golden render and PSNR columns."""
     from fypraytracer_tpu.app.cli import main
