@@ -94,7 +94,7 @@ def _burst_run(mk, frames, burst, reps, idle):
     return np.asarray(avg), done, best / burst * 1000.0
 
 
-def _make_megakernel_renderer(scene, cam, settings):
+def _make_megakernel_renderer(scene, cam, settings, gi_fast=None):
     tech = int(settings.technique)
     if tech == 7:      # RESTIR_DI
         from fypraytracer_tpu.render.megakernel_restir import (
@@ -103,13 +103,18 @@ def _make_megakernel_renderer(scene, cam, settings):
     if tech == 8:      # RESTIR_GI
         from fypraytracer_tpu.render.megakernel_restir_gi import (
             MegakernelReSTIRGI)
-        return MegakernelReSTIRGI(scene, cam, settings)
+        # default (gi_fast=None -> final_vis=False unless env overrides):
+        # the reference's per-neighbor visibility (Renderer.cu:2356-2366);
+        # --gi-fast opts into the single winner-visibility sweep (~1.7x)
+        return MegakernelReSTIRGI(scene, cam, settings,
+                                  final_vis=(True if gi_fast else None))
     from fypraytracer_tpu.render.megakernel import MegakernelRenderer
     return MegakernelRenderer(scene, cam, settings)
 
 
 def _render_run(scene, cam, settings, frames=None, seconds=None, impl="auto",
-                strict=False, burst=0, burst_reps=4, burst_idle=2.5):
+                strict=False, burst=0, burst_reps=4, burst_idle=2.5,
+                gi_fast=None):
     """Accumulate frames; returns (avg_hdr, frames, avg_frame_ms, impl_used).
 
     ``impl``: 'auto' | 'wavefront' | 'megakernel' — megakernel is the fast
@@ -132,9 +137,18 @@ def _render_run(scene, cam, settings, frames=None, seconds=None, impl="auto",
         impl == "auto" and frames is not None and (frames >= 16 or burst)
         and tech in (0, 1, 2, 3, 4, 5, 6, 7, 8)
         and (cam.width * cam.height) % 128 == 0)
+    if burst and not use_mk:
+        # the burst protocol is a megakernel measurement; silently timing
+        # the wavefront path instead would report throttled non-burst
+        # numbers under a burst label (ADVICE r4)
+        raise SystemExit(
+            "--burst requires the megakernel path (resolution divisible "
+            f"by 128, --frames set); got {cam.width}x{cam.height}, "
+            f"impl={impl}")
     if use_mk:
         try:
-            mk = _make_megakernel_renderer(scene, cam, settings)
+            mk = _make_megakernel_renderer(scene, cam, settings,
+                                           gi_fast=gi_fast)
             if burst:
                 avg, n, ms = _burst_run(mk, frames or 0, burst, burst_reps,
                                         burst_idle)
@@ -145,7 +159,7 @@ def _render_run(scene, cam, settings, frames=None, seconds=None, impl="auto",
             dt = time.perf_counter() - t0
             return avg, 2 * frames, dt / frames * 1000.0, "megakernel"
         except Exception as exc:
-            if strict or impl == "megakernel":
+            if strict or impl == "megakernel" or burst:
                 raise
             import traceback
             print(json.dumps({"warning": "megakernel failed; falling back "
@@ -203,7 +217,8 @@ def cmd_render(args):
     hdr, n, avg_ms, impl = _render_run(scene, cam, settings,
                                        frames=args.frames,
                                        seconds=args.seconds, impl=args.impl,
-                                       strict=args.strict)
+                                       strict=args.strict,
+                                       gi_fast=args.gi_fast)
     base, mse, psnr = _save(args.out, args.technique, hdr, settings, avg_ms,
                             n * avg_ms / 60000.0, args.golden)
     print(json.dumps({"output": base, "frames": n,
@@ -251,7 +266,8 @@ def cmd_benchmark(args):
                                            strict=args.strict,
                                            burst=args.burst,
                                            burst_reps=args.burst_reps,
-                                           burst_idle=args.burst_idle)
+                                           burst_idle=args.burst_idle,
+                                           gi_fast=args.gi_fast)
         rgb8 = to_uint8_rgb(finalize_pixels(hdr, np.float32(1.0)))
         row = {"technique": name, "frames": n,
                "avg_frame_ms": round(avg_ms, 2), "impl": impl}
@@ -396,6 +412,13 @@ def main(argv=None):
         sp.add_argument("--strict", action="store_true",
                         help="error if the megakernel fast path fails "
                              "instead of falling back to the wavefront")
+        sp.add_argument("--gi-fast", action="store_true",
+                        help="ReSTIR GI speed mode: merge spatial "
+                             "neighbors without per-neighbor visibility "
+                             "and trace ONE sweep on the selected winner "
+                             "(~1.7x faster; small darkening bias). "
+                             "Default is the reference's per-neighbor "
+                             "visibility (Renderer.cu:2356-2366)")
 
     r = sub.add_parser("render", help="render one technique")
     common(r)

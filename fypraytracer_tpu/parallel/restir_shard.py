@@ -91,11 +91,11 @@ def _shift_tree(tree, base):
     return _Shifted(tree, base)
 
 
-def _make_restir_sharded(scene, mesh: Mesh, width: int, height: int,
-                         settings, module, part1, part2, pack_state,
-                         axis: str = "px"):
-    """Shared builder for sharded ReSTIR DI / GI (see make_* wrappers)."""
-    n_dev = mesh.devices.size
+def _make_restir_body(width: int, height: int, settings, part1, part2,
+                      pack_state, axis: str, n_dev: int):
+    """The per-shard ReSTIR frame body (halo exchanges + part1/part2),
+    shared by the renderer (`_make_restir_sharded`) and the differentiable
+    train step (`make_restir_di_train_step`)."""
     assert height % n_dev == 0, f"height {height} not divisible by {n_dev}"
     rows = height // n_dev
     radius = int(settings.spatial_radius)
@@ -139,6 +139,17 @@ def _make_restir_sharded(scene, mesh: Mesh, width: int, height: int,
                          full_view, width, height)
         return hdr, pack_state(res, g)
 
+    return shard_step
+
+
+def _make_restir_sharded(scene, mesh: Mesh, width: int, height: int,
+                         settings, module, part1, part2, pack_state,
+                         axis: str = "px"):
+    """Shared builder for sharded ReSTIR DI / GI (see make_* wrappers)."""
+    n_dev = mesh.devices.size
+    shard_step = _make_restir_body(width, height, settings, part1, part2,
+                                   pack_state, axis, n_dev)
+
     state_specs = jax.tree_util.tree_map(
         lambda _: P(axis), module.init_state(1, xp=np))
     sharded = jax.shard_map(
@@ -177,6 +188,94 @@ def make_restir_di_sharded(scene, mesh: Mesh, width: int, height: int,
     return _make_restir_sharded(scene, mesh, width, height, settings,
                                 restir_di, restir_di.restir_di_part1,
                                 restir_di.restir_di_part2, pack_state, axis)
+
+
+def make_restir_di_train_step(scene, mesh: Mesh, width: int, height: int,
+                              settings, lr: float = 0.05, axis: str = "px"):
+    """Differentiable ReSTIR DI: data-parallel inverse-rendering step
+    through the reservoir estimator (the blueprint north-star capability —
+    SURVEY.md §7 step 7 / hard-part #4; pass criteria BASELINE.md:39).
+
+    Gradient design (validated vs central finite differences at matched
+    seeds, tests/test_gradients.py::test_restir_di_*): the DISCRETE
+    machinery — candidate indices, reservoir accept/merge decisions,
+    neighbor picks, M/Z counts, visibility outcomes — is integer/boolean
+    and carries no gradient by construction; the CONTINUOUS factors — the
+    target-pdf p̂ evaluations feeding the RIS weight sums, the reservoir
+    weight W = (1/p̂)·(wsum/M), and the final shade brdf·G·emission·W
+    (Renderer.cu:1957-2031, the estimator being differentiated:
+    Renderer.cu:1628-2041) — differentiate w.r.t. the material table
+    (albedo, roughness, metallic, emission).  The incoming reservoir
+    state is stop-gradient'ed: each step differentiates the single-frame
+    estimator given the history, not the full frame recurrence (which
+    would backprop through every previous frame's render).
+
+    Returns ``(step, init_state)`` with
+    ``step(params, inv_proj, inv_view, ppv, frame, state, target) ->
+    (new_params, new_state, loss)`` — jit over the mesh, spatial/temporal
+    halo exchanges differentiated through ``ppermute`` transposes, grads
+    of the replicated params psum-combined by grad-of-psum.
+    """
+    import dataclasses
+
+    n_dev = mesh.devices.size
+    n_pix = width * height
+
+    def pack_state(res, g):
+        return dict(
+            reservoir=dict(index=res["index"], w=res["w"], pdf=res["pdf"],
+                           wsum=res["wsum"], m=res["m"]),
+            depth=g["t"],
+            normal_oct=encode_octahedral(g["normal"]))
+
+    body = _make_restir_body(width, height, settings,
+                             restir_di.restir_di_part1,
+                             restir_di.restir_di_part2, pack_state, axis,
+                             n_dev)
+
+    def shard_loss(params, scene_rep, ip, iv, ppv, frame, pixel_ids, state,
+                   target):
+        scene_p = dataclasses.replace(scene_rep, materials=params)
+        state = jax.lax.stop_gradient(state)
+        hdr, new_state = body(scene_p, ip, iv, ppv, frame, pixel_ids, state)
+        err = hdr - target
+        loss = jax.lax.psum(jnp.sum(err * err), axis) / (n_pix * 3)
+        return loss, new_state
+
+    def shard_step(params, scene_rep, ip, iv, ppv, frame, pixel_ids, state,
+                   target):
+        (loss, new_state), grads = jax.value_and_grad(
+            shard_loss, allow_int=True, has_aux=True)(
+                params, scene_rep, ip, iv, ppv, frame, pixel_ids, state,
+                target)
+        new_params = jax.tree_util.tree_map(
+            lambda p, g: ((p - lr * g).astype(p.dtype)
+                          if jnp.issubdtype(p.dtype, jnp.floating) else p),
+            params, grads)
+        return new_params, new_state, loss
+
+    state_specs = jax.tree_util.tree_map(
+        lambda _: P(axis), restir_di.init_state(1, xp=np))
+    sharded = jax.shard_map(
+        shard_step, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(axis), state_specs,
+                  P(axis)),
+        out_specs=(P(), state_specs, P()))
+
+    @jax.jit
+    def step(params, ip, iv, ppv, frame, state, target):
+        pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+        return sharded(params, scene, ip, iv, ppv, frame.astype(jnp.uint32),
+                       pixel_ids, state, target)
+
+    def init_state():
+        st = restir_di.init_state(n_pix, xp=np)
+        sharding = jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P(axis)), st)
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(jnp.asarray(x), s), st, sharding)
+
+    return step, init_state
 
 
 def make_restir_gi_sharded(scene, mesh: Mesh, width: int, height: int,

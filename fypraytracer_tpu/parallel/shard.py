@@ -106,6 +106,10 @@ def sharded_megakernel_render(scene: Scene, mesh: Mesh, width: int,
 
     mscene, _ = MK.morton_permuted_scene(
         jax.tree_util.tree_map(np.asarray, scene))
+    # mid-size dense scenes auto-enable the in-kernel per-tile AABB cull
+    # (make_megakernel: >= 8 tiles) — the table must ride along or the
+    # pallas_call arg pytree mismatches (room-scene crash, ADVICE r4)
+    taabb = MK.prepare_tile_aabbs(mscene, MK.TRI_TILE)
     dscene = jax.tree_util.tree_map(jnp.asarray, mscene)
     Pt, AT = MK.prepare_scene_tables(dscene)
     L, depth = MK.prepare_light_table(dscene)
@@ -118,17 +122,23 @@ def sharded_megakernel_render(scene: Scene, mesh: Mesh, width: int,
     sparse = n_tris + ((-n_tris) % MK.TRI_TILE) >= 32768
     tbox = (MK.prepare_tile_boxes_lanes(mscene, MK.TRI_TILE)
             if sparse else None)
+    # textured scenes: same in-kernel atlas fetch as the single-device
+    # renderer (omitting these silently rendered flat-albedo, ADVICE r4)
+    txp = txb = tex_shapes = None
+    if MK.scene_is_textured(scene):
+        txp, txb, tex_shapes = MK.prepare_texture_tables(scene.textures)
     fn = MK.make_megakernel(
         width, height, settings.bounces, samples, settings.sky_color,
         n_frames, n_tris, sampler=sampler,
         n_light_nodes=L.shape[1], light_depth=depth,
         frame_group=MK._pick_frame_group(n_frames), ray_lanes=C,
         chunk_rows=CH, sparse=sparse, tiled_pixels=False,
-        interpret=interpret)
+        tex_shapes=tex_shapes, interpret=interpret)
 
     def body(cam_mats, frame0):
         pix0 = jax.lax.axis_index(axis).astype(jnp.int32) * (CH * C)
-        return fn(cam_mats, Pt, AT, frame0, L=L, TBOX=tbox, pix0=pix0)
+        return fn(cam_mats, Pt, AT, frame0, L=L, TXP=txp, TXB=txb,
+                  TAABB=taabb, TBOX=tbox, pix0=pix0)
 
     shard_body = jax.shard_map(body, mesh=mesh, in_specs=(P(), P()),
                                out_specs=P(axis), check_vma=False)

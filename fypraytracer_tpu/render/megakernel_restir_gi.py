@@ -855,7 +855,7 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
                         n_frames: int, tex_shapes=None, cull: bool = False,
                         sparse: bool | None = None,
                         hbm_tables: bool | None = None,
-                        interpret: bool = False, final_vis: bool = True,
+                        interpret: bool = False, final_vis: bool = False,
                         probe_fake_vis: bool = False,
                         probe_no_vis: bool = False,
                         probe_closest_vis: bool = False):
@@ -868,16 +868,16 @@ def make_restir_gi_mono(width: int, height: int, settings, n_tris: int,
     one kernel).  1/Z bias accounting is unchanged, so the estimator
     stays unbiased; frame 1 simply has no spatial neighbors.
 
-    ``final_vis=True`` (default): spatial neighbors merge with the
-    no-visibility target pdf — the original ReSTIR RIS formulation
-    (Bitterli et al. 2020, Alg. 3; the reference instead re-traces per
-    neighbor, Renderer.cu:2356-2366) — and ONE visibility sweep on the
-    SELECTED sample gates the final shade.  Tradeoff: occluded winners
-    are discarded instead of never entering the reservoir (the standard
-    ReSTIR visibility-darkening bias, bounded by the statistical tests);
-    cost drops from 5 sweeps to 1 (~1.2 ms each on v5e, PERF.md #18c).
-    ``final_vis=False`` restores the reference's per-neighbor rejection
-    (batched into one rr=N sweep).
+    ``final_vis=False`` (default): the reference's per-neighbor
+    visibility rejection (Renderer.cu:2356-2366), batched into one rr=N
+    sweep.  ``final_vis=True`` is the OPT-IN speed mode: spatial
+    neighbors merge with the no-visibility target pdf — the original
+    ReSTIR RIS formulation (Bitterli et al. 2020, Alg. 3) — and ONE
+    visibility sweep on the SELECTED sample gates the final shade.
+    Tradeoff: occluded winners are discarded instead of never entering
+    the reservoir (the standard ReSTIR visibility-darkening bias, mean
+    <= 6% on the room scene, tests/test_room.py); cost drops from 5
+    sweeps to 1 (~1.7x cheaper per frame true on v5e, BASELINE.md r4).
 
     Measured cost anatomy (PERF.md #18, #18b-c): rr=1 trace loops inside
     the K1 section run at ~full VPU speed; any sweep in the spatial
@@ -1559,12 +1559,13 @@ class MegakernelReSTIRGI:
         self.probe_no_vis = probe_no_vis
         self.probe_closest_vis = probe_closest_vis
         # final_vis (mono only): single winner-visibility sweep instead
-        # of per-neighbor sweeps; default ON for the mono fast path.
-        # FYP_GI_FINAL_VIS=0 selects the reference's per-neighbor
-        # visibility semantics (Renderer.cu:2356-2366) from the CLI.
+        # of per-neighbor sweeps — an OPT-IN speed mode (~1.7x).  The
+        # DEFAULT is the reference's per-neighbor visibility semantics
+        # (Renderer.cu:2356-2366); select the speed mode with
+        # final_vis=True / FYP_GI_FINAL_VIS=1 / `cli ... --gi-fast`.
         env_fv = os.environ.get("FYP_GI_FINAL_VIS")
         if final_vis is None:
-            final_vis = bool(int(env_fv)) if env_fv is not None else True
+            final_vis = bool(int(env_fv)) if env_fv is not None else False
         self.final_vis = final_vis
         if probe_fake_vis or probe_no_vis:
             print("WARNING: probe_fake_vis/no_vis — image is a PERF PROBE, "

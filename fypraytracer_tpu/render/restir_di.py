@@ -121,7 +121,12 @@ def target_pdf_centroid(scene: Scene, emissive_slot, shade_pos, shade_normal,
 
     emission = material_emission(scene, scene.geometry.tri_mat[tri])
     radiance = brdf * (cos_x * cos_y / xp.maximum(solid_pdf, 1e-20))[..., None] * emission
-    return xp.sqrt(xp.maximum(dot3(radiance, radiance, keepdims=False), 0.0))
+    # double-where norm: d/dθ √(r·r) at r = 0 is inf; p̂ feeds the RIS
+    # weight sums, which ARE differentiated (pixel gradients w.r.t.
+    # materials, SURVEY §7 hard-part #4) — the guard pins the zero-lane
+    # gradient to exactly 0 instead of 0·inf = NaN
+    sq = dot3(radiance, radiance, keepdims=False)
+    return xp.where(sq > 0.0, xp.sqrt(xp.where(sq > 0.0, sq, 1.0)), 0.0)
 
 
 def _finalize_w(res, m_inv=None):

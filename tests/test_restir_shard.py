@@ -5,6 +5,8 @@ The single-chip reference is computed with the same in-jit ray generation
 as the sharded body (host-computed rays differ in final-ulp rounding,
 which reservoir accept decisions amplify chaotically across frames)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -76,6 +78,46 @@ def test_sharded_megakernel_sparse_big_scene():
     out = np.asarray(render(cam_mats, jnp.asarray([[1]], jnp.int32)))
     assert out.shape == (1024, 3)
     assert np.isfinite(out).all() and out.mean() > 1e-3
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/FYPRayTracer/Assets/3D Models/Test")
+    and not os.environ.get("FYP_ASSETS"),
+    reason="room scene assets unavailable")
+def test_sharded_megakernel_room_cull_textured():
+    """Mid-size dense scenes (>= 8 intersection tiles) auto-enable the
+    in-kernel tile cull, and the room is textured — the sharded path must
+    thread the TAABB + texture tables through and match the single-device
+    textured megakernel bit-for-bit (ADVICE r4: this band crashed with a
+    pallas_call pytree mismatch and, texture-wise, silently rendered
+    flat-albedo)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fypraytracer_tpu.parallel.shard import (
+        make_pixel_mesh, sharded_megakernel_render)
+    from fypraytracer_tpu.render import megakernel as MK
+    from fypraytracer_tpu.scene.procedural import room
+
+    builder, cam = room(width=64, height=64)
+    scene = builder.compile()
+    settings = RenderSettings(technique=SamplingTechnique.NEE_MIS,
+                              bounces=2, samples=1,
+                              sky_color=(0.05, 0.06, 0.08))
+    cam_mats = jnp.concatenate([jnp.asarray(cam.inv_projection),
+                                jnp.asarray(cam.inv_view)], axis=0)
+    frame0 = jnp.asarray([[1]], jnp.int32)
+
+    mesh = make_pixel_mesh(jax.devices()[:2])
+    render = sharded_megakernel_render(scene, mesh, 64, 64, settings,
+                                       n_frames=8, interpret=True)
+    sharded = np.asarray(render(cam_mats, frame0))
+
+    mk = MK.MegakernelRenderer(scene, cam, settings, interpret=True)
+    mk.render_many(8)
+    ref = np.asarray(mk.accum)
+    assert ref.mean() > 0.01
+    np.testing.assert_array_equal(sharded, ref)
 
 
 @pytest.mark.parametrize("n_devices", [2, 4, 8])
