@@ -166,12 +166,21 @@ def report(measured, impl: str) -> None:
         note = (", SERVICE-THROTTLED: no burst credit this run, value is "
                 "the sustained rate (~1/6.9 of full); kernel-equivalent "
                 f"full rate ~{rays_per_s * 6.9 / 1e6:.0f}M rays/s")
+    # machine-readable service-state label (VERDICT r4 weak #7): brackets
+    # per PERF.md #30 on the measured anchor ms/frame (megakernel only —
+    # the wavefront fallback is too slow for the brackets to mean anything)
+    state = "unknown"
+    if impl.startswith("megakernel"):
+        ms = dt * 1000.0
+        state = ("unthrottled" if ms <= 0.65 else
+                 "burst" if ms <= 2.5 else "sustained")
     print(json.dumps({
         "metric": "rays_per_second",
         "value": round(rays_per_s, 1),
         "unit": f"rays/s (cornell {WIDTH}x{HEIGHT}, NEE+MIS, {BOUNCES} bounces, "
                 f"{SAMPLES} spp, frame {dt*1000:.1f} ms, {impl}, "
                 f"{jax.devices()[0].device_kind}{note})",
+        "state": state,
         "vs_baseline": round(vs_baseline, 3),
     }))
 

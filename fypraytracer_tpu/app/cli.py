@@ -331,6 +331,56 @@ def _train_fast(args, scene, cam):
                       "avg_step_ms": round(dt * 1000, 2)}))
 
 
+def _train_restir_di(args, scene, cam):
+    """Inverse rendering THROUGH the ReSTIR DI reservoir estimator
+    (differentiable ReSTIR: detached discrete reservoir machinery,
+    differentiated shade/W factors — parallel/restir_shard.py
+    ::make_restir_di_train_step; estimator Renderer.cu:1628-2041)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from fypraytracer_tpu.parallel.restir_shard import (
+        make_restir_di_sharded, make_restir_di_train_step)
+    from fypraytracer_tpu.parallel.shard import (
+        make_pixel_mesh, replicate_scene)
+
+    settings = _settings(args, SamplingTechnique.RESTIR_DI)
+    mesh = make_pixel_mesh(
+        jax.devices()[:args.devices] if args.devices else None)
+    scene_d = replicate_scene(scene, mesh)
+    ip = jnp.asarray(cam.inv_projection)
+    iv = jnp.asarray(cam.inv_view)
+    ppv = jnp.asarray(cam.prev_proj_view)
+
+    render, init_state = make_restir_di_sharded(scene_d, mesh, cam.width,
+                                                cam.height, settings)
+    target, _ = render(ip, iv, ppv, jnp.uint32(1), init_state())
+
+    true_albedo = scene_d.materials.albedo
+    key = jax.random.PRNGKey(0)
+    params = dataclasses.replace(
+        scene_d.materials,
+        albedo=jnp.clip(true_albedo + 0.25 * jax.random.normal(
+            key, true_albedo.shape), 0.05, 0.95))
+
+    step, init_tr = make_restir_di_train_step(
+        scene_d, mesh, cam.width, cam.height, settings,
+        lr=args.lr * 500,   # DI's MSE sits ~1e-4; see test_gradients lr probe
+        fields=("albedo",))
+    state0 = init_tr()
+    for i in range(args.steps):
+        params, _, loss = step(params, ip, iv, ppv, jnp.uint32(1), state0,
+                               target)
+        params = dataclasses.replace(params,
+                                     albedo=jnp.clip(params.albedo, 0.0, 1.0))
+        if i % max(args.steps // 10, 1) == 0 or i == args.steps - 1:
+            print(json.dumps({"step": i, "loss": float(loss)}))
+    err = float(jnp.abs(params.albedo - true_albedo).mean())
+    print(json.dumps({"final_albedo_mae": err, "impl": "restir-di"}))
+
+
 def cmd_train(args):
     """Inverse-rendering demo: recover albedos from a rendered target.
 
@@ -347,6 +397,8 @@ def cmd_train(args):
     scene, cam = _load_scene(args)
     if args.impl == "megakernel":
         return _train_fast(args, scene, cam)
+    if args.technique == "restir-di":
+        return _train_restir_di(args, scene, cam)
     settings = _settings(args, SamplingTechnique.NEE_MIS)
     mesh = make_pixel_mesh(jax.devices()[:args.devices] if args.devices else None)
     scene_d = replicate_scene(scene, mesh)
@@ -459,6 +511,10 @@ def main(argv=None):
     t.add_argument("--impl", choices=["wavefront", "megakernel"],
                    default="wavefront",
                    help="megakernel = fused loss+albedo-grad kernel")
+    t.add_argument("--technique", choices=["nee", "restir-di"],
+                   default="nee",
+                   help="estimator to differentiate through; restir-di = "
+                        "pixel gradients through the reservoir estimator")
     t.set_defaults(fn=cmd_train)
 
     args = p.parse_args(argv)

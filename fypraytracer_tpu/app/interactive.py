@@ -16,7 +16,14 @@ Commands::
     bounces/samples <n>         settings (reset)
     move x y z [fx fy fz]       camera teleport (prev matrices latched)
     fly <fwd> <right> <up> [yaw pitch]   incremental camera motion
+    fov <deg>                   vertical FOV (Camera.h ctor panel; reset)
+    clip <near> <far>           clip planes (reset)
+    restir <candidates|history|neighbors|radius> <n>   live ReSTIR knobs
+                                (WalnutApp.cpp:617-643 panel; reset)
     mat <id> albedo r g b | roughness v | metallic v | emission r g b pow
+             | map <tid>        (tid from `texture`; -1 = untextured)
+    texture <path.png|bmp>      register a texture mid-session
+                                (WalnutApp.cpp:674 Add-Texture flow)
     mesh <id> position x y z | rotation x y z | scale x y z
     load <path.obj> [mat] [x y z [sx sy sz [rx ry rz]]]   add mesh mid-session
     add-sphere [mat] [radius] [x y z]                     procedural UV sphere
@@ -115,9 +122,40 @@ class InteractiveSession:
             self._renderer.accum = self._renderer.accum * 0
             self._renderer.frame_index = 1
 
+    def cmd_fov(self, deg):
+        """Vertical field of view (the reference's camera panel edits the
+        Camera ctor params, Camera.h ctor / WalnutApp.cpp:548-560)."""
+        self.camera.vfov_deg = float(deg)
+        self.camera._update()
+        if self._renderer is not None:
+            self._renderer.accum = self._renderer.accum * 0
+            self._renderer.frame_index = 1
+
+    def cmd_clip(self, near, far):
+        """Near/far clip planes (Camera.h ctor panel)."""
+        self.camera.near = float(near)
+        self.camera.far = float(far)
+        self.camera._update()
+        if self._renderer is not None:
+            self._renderer.accum = self._renderer.accum * 0
+            self._renderer.frame_index = 1
+
+    def cmd_restir(self, knob, val):
+        """Live ReSTIR knobs (the WalnutApp.cpp:617-643 panel): editing
+        any of them resets accumulation (WalnutApp.cpp:638-643)."""
+        field = {"candidates": "light_candidates",
+                 "history": "temporal_history_limit",
+                 "neighbors": "spatial_neighbors",
+                 "radius": "spatial_radius"}[knob]
+        self.settings = self.settings.replace(**{field: int(val)})
+        self._reset()
+
     def cmd_mat(self, mid, field, *vals):
-        vals = [float(v) for v in vals]
         mid = int(mid)
+        if field == "map":
+            self.manager.set_material(mid, albedo_map=int(vals[0]))
+            return
+        vals = [float(v) for v in vals]
         if field == "albedo":
             self.manager.set_material(mid, albedo=tuple(vals))
         elif field == "roughness":
@@ -129,6 +167,13 @@ class InteractiveSession:
                                       emission_power=vals[3])
         else:
             raise ValueError(f"unknown material field {field!r}")
+
+    def cmd_texture(self, path):
+        """Register a texture mid-session (WalnutApp.cpp:674 Add-Texture
+        dialog → Scene::AddNewTexture, Scene.cpp:188); assign it with
+        `mat <id> map <tid>` — the next `step` repacks the atlas."""
+        tid = self.manager.add_texture(path)
+        self._emit(texture=path, texture_id=tid)
 
     def cmd_mesh(self, mid, field, *vals):
         vals = [float(v) for v in vals]

@@ -191,7 +191,8 @@ def make_restir_di_sharded(scene, mesh: Mesh, width: int, height: int,
 
 
 def make_restir_di_train_step(scene, mesh: Mesh, width: int, height: int,
-                              settings, lr: float = 0.05, axis: str = "px"):
+                              settings, lr: float = 0.05, axis: str = "px",
+                              fields: tuple | None = None):
     """Differentiable ReSTIR DI: data-parallel inverse-rendering step
     through the reservoir estimator (the blueprint north-star capability —
     SURVEY.md §7 step 7 / hard-part #4; pass criteria BASELINE.md:39).
@@ -242,16 +243,26 @@ def make_restir_di_train_step(scene, mesh: Mesh, width: int, height: int,
         loss = jax.lax.psum(jnp.sum(err * err), axis) / (n_pix * 3)
         return loss, new_state
 
+    import dataclasses as _dc
+
     def shard_step(params, scene_rep, ip, iv, ppv, frame, pixel_ids, state,
                    target):
         (loss, new_state), grads = jax.value_and_grad(
             shard_loss, allow_int=True, has_aux=True)(
                 params, scene_rep, ip, iv, ppv, frame, pixel_ids, state,
                 target)
-        new_params = jax.tree_util.tree_map(
-            lambda p, g: ((p - lr * g).astype(p.dtype)
-                          if jnp.issubdtype(p.dtype, jnp.floating) else p),
-            params, grads)
+        # ``fields`` restricts the SGD update (e.g. ("albedo",)): the
+        # material fields have very different curvature under this loss, so
+        # a single lr across all of them is ill-conditioned
+        names = (fields if fields is not None
+                 else [f.name for f in _dc.fields(params)])
+        upd = {}
+        for name in names:
+            p = getattr(params, name)
+            g = getattr(grads, name)
+            if jnp.issubdtype(p.dtype, jnp.floating):
+                upd[name] = (p - lr * g).astype(p.dtype)
+        new_params = _dc.replace(params, **upd)
         return new_params, new_state, loss
 
     state_specs = jax.tree_util.tree_map(
