@@ -159,10 +159,14 @@ def ggx_sample_hemisphere(normal, view, roughness, u1, u2):
     denom = (n_dot_h * n_dot_h) * (a2 - 1.0) + 1.0
     d = a2 / xp.maximum(PI * denom * denom, 1e-20)
     p_h = d * n_dot_h
-    pdf = p_h / xp.maximum(4.0 * v_dot_h, 1e-20)
-
-    valid = (n_dot_l > 0.0) & (v_dot_h > 0.0) & (n_dot_h > 0.0)
-    pdf = xp.where(valid, pdf, 0.0)
+    # grazing-half-vector guard: 4·(v·h) below 1e-6 makes the sample
+    # degenerate (pdf ~ 1e20, contribution ~ 1e-20) AND its division
+    # gradient overflows f32 (d(1/x)/dθ ~ 1/x² ~ 1e40 → inf → NaN in the
+    # differentiable estimators) — double-where pins both to exactly 0.
+    # Mirrored bit-identically in-kernel (megakernel.py::_ggx_sample).
+    denom4 = 4.0 * v_dot_h
+    valid = (n_dot_l > 0.0) & (denom4 > 1e-6) & (n_dot_h > 0.0)
+    pdf = xp.where(valid, p_h / xp.where(valid, denom4, 1.0), 0.0)
     l = xp.where(valid, l, 0.0)
     return l, pdf[..., 0]
 
@@ -178,9 +182,11 @@ def ggx_hemisphere_pdf(normal, view, l, roughness):
     a2 = alpha * alpha
     denom = (n_dot_h * n_dot_h) * (a2 - 1.0) + 1.0
     d = a2 / xp.maximum(PI * denom * denom, 1e-20)
-    pdf = d * n_dot_h / xp.maximum(4.0 * v_dot_h, 1e-20)
-    valid = (n_dot_h > 0.0) & (v_dot_h > 0.0)
-    return xp.where(valid, pdf, 0.0)[..., 0]
+    # same grazing guard as ggx_sample_hemisphere (gradient overflow)
+    denom4 = 4.0 * v_dot_h
+    valid = (n_dot_h > 0.0) & (denom4 > 1e-6)
+    pdf = xp.where(valid, d * n_dot_h / xp.where(valid, denom4, 1.0), 0.0)
+    return pdf[..., 0]
 
 
 def fresnel_schlick(albedo, metallic, cos_term):

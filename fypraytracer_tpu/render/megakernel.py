@@ -487,9 +487,10 @@ def _ggx_sample(u1, u2, nx, ny, nz, vx, vy, vz, rough):
     vdh = vx * hx + vy * hy + vz * hz
     den = ndh * ndh * (a2 - 1.0) + 1.0
     d = a2 / jnp.maximum(_PI * den * den, 1e-20)
-    pdf = d * ndh / jnp.maximum(4.0 * vdh, 1e-20)
-    valid = (ndl > 0.0) & (vdh > 0.0) & (ndh > 0.0)
-    pdf = jnp.where(valid, pdf, 0.0)
+    # grazing guard bit-identical to mathutils.ggx_sample_hemisphere
+    den4 = 4.0 * vdh
+    valid = (ndl > 0.0) & (den4 > 1e-6) & (ndh > 0.0)
+    pdf = jnp.where(valid, d * ndh / jnp.where(valid, den4, 1.0), 0.0)
     z = jnp.zeros_like(pdf)
     return (jnp.where(valid, lx, z), jnp.where(valid, ly, z),
             jnp.where(valid, lz, z), pdf)
@@ -503,8 +504,10 @@ def _ggx_pdf(nx, ny, nz, vx, vy, vz, lx, ly, lz, rough):
     a2 = alpha * alpha
     den = ndh * ndh * (a2 - 1.0) + 1.0
     d = a2 / jnp.maximum(_PI * den * den, 1e-20)
-    pdf = d * ndh / jnp.maximum(4.0 * vdh, 1e-20)
-    return jnp.where((ndh > 0.0) & (vdh > 0.0), pdf, 0.0)
+    # grazing guard bit-identical to mathutils.ggx_hemisphere_pdf
+    den4 = 4.0 * vdh
+    valid = (ndh > 0.0) & (den4 > 1e-6)
+    return jnp.where(valid, d * ndh / jnp.where(valid, den4, 1.0), 0.0)
 
 
 def _spec_weight(nx, ny, nz, vx, vy, vz, alb, metal):

@@ -97,8 +97,12 @@ def reservoir_update(res, cand_sample, weight, count, p_hat, u, active):
 
 
 def _luminance_norm(radiance):
+    # double-where: d/dθ √(r·r) at r = 0 is inf, and zero-radiance samples
+    # are the COMMON case (non-reconnectable / dark paths); p̂ feeds the
+    # differentiated RIS weights (pixel gradients, SURVEY §7 hard-part #4)
     xp = _xp(radiance)
-    return xp.sqrt(xp.maximum(dot3(radiance, radiance, keepdims=False), 0.0))
+    sq = dot3(radiance, radiance, keepdims=False)
+    return xp.where(sq > 0.0, xp.sqrt(xp.where(sq > 0.0, sq, 1.0)), 0.0)
 
 
 def _trace_sample_path(scene, trace_fn, prim, view, key, settings):

@@ -286,6 +286,67 @@ def test_restir_di_pixel_grads_match_finite_differences(di_setup):
     assert np.abs(jac).sum() > 1e-3  # gradients actually flow
 
 
+def test_restir_gi_grads_match_finite_differences():
+    """Pixel gradients through the ReSTIR GI estimator (path samples +
+    reconnection-Jacobian spatial reuse + visibility re-trace,
+    Renderer.cu:2043-2387): same detached-discrete design as DI — the
+    continuous factors (path throughput, radiance, p̂ = ‖L‖, W, final
+    f·cosθ·L·W shade) differentiate w.r.t. materials; validated <= 1%
+    vs central FD at matched seeds."""
+    import jax
+    import jax.numpy as jnp
+
+    from fypraytracer_tpu.config import RenderSettings, SamplingTechnique
+    from fypraytracer_tpu.core.camera import generate_rays
+    from fypraytracer_tpu.ops.dense import pick_tracer
+    from fypraytracer_tpu.render import restir_gi
+    from fypraytracer_tpu.scene.procedural import cornell_box
+
+    W = H = 16
+    builder, cam = cornell_box(width=W, height=H, with_spheres=False)
+    scene = builder.compile()
+    settings = RenderSettings(technique=SamplingTechnique.RESTIR_GI,
+                              bounces=2, spatial_neighbors=2,
+                              spatial_radius=4)
+    o_np, d_np = generate_rays(cam.inv_projection, cam.inv_view, W, H, xp=np)
+    o = jnp.asarray(o_np, jnp.float32)
+    d = jnp.asarray(d_np, jnp.float32)
+    pix = jnp.arange(W * H, dtype=jnp.uint32)
+    ppv = jnp.asarray(cam.prev_proj_view)
+    state0 = jax.tree_util.tree_map(jnp.asarray,
+                                    restir_gi.init_state(W * H))
+
+    def loss(materials):
+        s = dataclasses.replace(scene, materials=materials)
+        trace = pick_tracer(s, "dense")
+        hdr, _ = restir_gi.render_restir_gi(s, trace, o, d, pix,
+                                            jnp.uint32(1), settings, state0,
+                                            W, H, ppv)
+        return jnp.mean(hdr)
+
+    mats = jax.tree_util.tree_map(jnp.asarray, scene.materials)
+    grads = jax.grad(loss, allow_int=True)(mats)
+    for field in ("albedo", "emission_power", "roughness", "metallic"):
+        assert np.isfinite(np.asarray(getattr(grads, field))).all(), field
+
+    light = int(np.argmax(np.asarray(scene.materials.emission_power)))
+    probes = [("albedo", (0, 0), 1e-3), ("albedo", (1, 1), 1e-3),
+              ("emission_power", (light,), 1e-2)]
+    for field, idx, eps in probes:
+        base = np.asarray(getattr(scene.materials, field), np.float64)
+        vals = {}
+        for sign in (1, -1):
+            pert = base.copy()
+            pert[idx] += sign * eps
+            m2 = dataclasses.replace(scene.materials,
+                                     **{field: pert.astype(np.float32)})
+            vals[sign] = float(loss(jax.tree_util.tree_map(jnp.asarray, m2)))
+        fd = (vals[1] - vals[-1]) / (2 * eps)
+        ad = float(np.asarray(getattr(grads, field))[idx])
+        assert abs(fd - ad) <= 0.01 * max(abs(fd), abs(ad), 1e-4), \
+            (field, idx, fd, ad)
+
+
 def test_restir_di_inverse_rendering_recovers_albedo():
     """End-to-end north star: recover perturbed wall albedos by SGD
     through the SHARDED differentiable ReSTIR DI estimator (reservoirs +
