@@ -157,7 +157,7 @@ def sharded_megakernel_render(scene: Scene, mesh: Mesh, width: int,
 
 def make_train_step(scene: Scene, mesh: Mesh, width: int, height: int,
                     settings, lr: float = 0.05, axis: str = "px",
-                    technique: str = "nee"):
+                    technique: str = "nee", optimizer=None):
     """Data-parallel inverse-rendering step: optimize material parameters
     to match a target image.
 
@@ -165,6 +165,13 @@ def make_train_step(scene: Scene, mesh: Mesh, width: int, height: int,
     albedo/roughness/metallic/emission with discrete hit/light selections
     detached.  Per-shard gradients are ``psum``-reduced over ICI — the
     all-reduce the reference never needed single-GPU (§2.7 table).
+    For gradients through the ReSTIR DI reservoir estimator use
+    ``parallel.restir_shard.make_restir_di_train_step``.
+
+    ``optimizer``: an optax GradientTransformation (e.g. ``optax.adam``);
+    None = plain SGD at ``lr``.  With an optimizer the returned step is
+    ``step(params, opt_state, ...) -> (new_params, new_opt_state, loss)``
+    and ``make_train_step`` returns ``(step, init_opt_state)``.
 
     Returns ``step(params, inv_proj, inv_view, frame, target) ->
     (new_params, loss)`` — jit-compiled over the mesh.
@@ -194,27 +201,76 @@ def make_train_step(scene: Scene, mesh: Mesh, width: int, height: int,
         local = jnp.sum(err * err)
         return jax.lax.psum(local, axis) / (n_pix * 3)
 
-    def shard_step(params, scene_rep, inv_proj, inv_view, frame, pixel_ids, target):
+    def _float_mask_update(params, upd):
+        return jax.tree_util.tree_map(
+            lambda p, u: (p + u).astype(p.dtype)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            params, upd)
+
+    def _zero_int_grads(params, grads):
+        # allow_int grads of int leaves come back as float0 — replace with
+        # float zeros so optax transforms can consume the tree
+        return jax.tree_util.tree_map(
+            lambda p, g: (g if jnp.issubdtype(p.dtype, jnp.floating)
+                          else jnp.zeros_like(p, jnp.float32)),
+            params, grads)
+
+    def _floatify(params):
+        # optax-consumable mirror of the param tree: int leaves (the
+        # albedo_map ids) become float32 zeros; their updates are dropped
+        # by _float_mask_update anyway
+        return jax.tree_util.tree_map(
+            lambda x: (jnp.asarray(x) if jnp.issubdtype(
+                jnp.asarray(x).dtype, jnp.floating)
+                else jnp.zeros_like(jnp.asarray(x), jnp.float32)), params)
+
+    def shard_step(params, opt_state, scene_rep, inv_proj, inv_view, frame,
+                   pixel_ids, target):
         # allow_int: the material table carries int albedo_map ids (their
         # float0 grads are ignored by the float-only update below)
         loss, grads = jax.value_and_grad(shard_loss, allow_int=True)(
             params, scene_rep, inv_proj, inv_view, frame, pixel_ids, target)
-        # grads of replicated params are already psum-ed by grad-of-psum;
-        # plain SGD keeps the step dependency-free (optax variant in diff/)
-        new_params = jax.tree_util.tree_map(
-            lambda p, g: (p - lr * g).astype(p.dtype) if jnp.issubdtype(p.dtype, jnp.floating) else p,
-            params, grads)
-        return new_params, loss
+        # grads of replicated params are already psum-ed by grad-of-psum
+        if optimizer is None:
+            new_params = jax.tree_util.tree_map(
+                lambda p, g: (p - lr * g).astype(p.dtype)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                params, grads)
+            return new_params, opt_state, loss
+        upd, new_opt = optimizer.update(_zero_int_grads(params, grads),
+                                        opt_state, _floatify(params))
+        return _float_mask_update(params, upd), new_opt, loss
 
+    if optimizer is None:
+        sharded = jax.shard_map(
+            shard_step, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P(axis), P(axis)),
+            out_specs=(P(), P(), P()))
+
+        @jax.jit
+        def step(params, inv_proj, inv_view, frame, target):
+            pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+            p, _, loss = sharded(params, 0, scene, inv_proj, inv_view,
+                                 frame.astype(jnp.uint32), pixel_ids, target)
+            return p, loss
+
+        return step
+
+    opt_spec = jax.tree_util.tree_map(
+        lambda _: P(),
+        jax.eval_shape(lambda: optimizer.init(_floatify(scene.materials))))
     sharded = jax.shard_map(
         shard_step, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(axis), P(axis)),
-        out_specs=(P(), P()))
+        in_specs=(P(), opt_spec, P(), P(), P(), P(), P(axis), P(axis)),
+        out_specs=(P(), opt_spec, P()))
 
     @jax.jit
-    def step(params, inv_proj, inv_view, frame, target):
+    def step_opt(params, opt_state, inv_proj, inv_view, frame, target):
         pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
-        return sharded(params, scene, inv_proj, inv_view,
+        return sharded(params, opt_state, scene, inv_proj, inv_view,
                        frame.astype(jnp.uint32), pixel_ids, target)
 
-    return step
+    def init_opt_state(params):
+        return optimizer.init(_floatify(params))
+
+    return step_opt, init_opt_state
