@@ -26,10 +26,17 @@ from fypraytracer_tpu.config import RenderSettings, SamplingTechnique
 def _flatten_state(renderer) -> dict:
     state = {"accum": np.asarray(renderer.accum),
              "frame_index": np.int64(renderer.frame_index)}
-    if renderer.aux_state is not None:
+    # wavefront ReSTIR state pytree
+    if getattr(renderer, "aux_state", None) is not None:
         leaves, treedef = jax.tree_util.tree_flatten(renderer.aux_state)
         for i, leaf in enumerate(leaves):
             state[f"aux_{i}"] = np.asarray(leaf)
+    # megakernel ReSTIR HBM state/stage planes (MegakernelReSTIRDI.state,
+    # MegakernelReSTIRGI.state/.stage) — plain arrays
+    for name in ("state", "stage"):
+        v = getattr(renderer, name, None)
+        if v is not None and not callable(v):
+            state["mk_" + name] = np.asarray(v)
     return state
 
 
@@ -63,8 +70,14 @@ def save_checkpoint(path: str, renderer) -> None:
         json.dump(meta, f, indent=2)
 
 
-def load_checkpoint(path: str, scene):
-    """Rebuild a ``Renderer`` from a checkpoint directory + compiled scene."""
+def load_checkpoint(path: str, scene, renderer_cls=None):
+    """Rebuild a renderer from a checkpoint directory + compiled scene.
+
+    ``renderer_cls``: the renderer to restore into — default
+    ``render.renderer.Renderer`` (wavefront); also supports the megakernel
+    fast paths (``MegakernelRenderer`` / ``MegakernelReSTIRDI`` /
+    ``MegakernelReSTIRGI``), whose accumulation + HBM reservoir planes
+    round-trip, so a long offline megakernel render resumes exactly."""
     import jax.numpy as jnp
 
     from fypraytracer_tpu.core.camera import Camera
@@ -86,11 +99,14 @@ def load_checkpoint(path: str, scene):
         ckpt = ocp.PyTreeCheckpointer()
         state = ckpt.restore(os.path.join(os.path.abspath(path), "state"))
 
-    r = Renderer(scene, cam, settings)
+    r = (renderer_cls or Renderer)(scene, cam, settings)
     r.accum = jnp.asarray(state["accum"])
     r.frame_index = int(state["frame_index"])
-    if r.aux_state is not None:
+    if getattr(r, "aux_state", None) is not None:
         leaves, treedef = jax.tree_util.tree_flatten(r.aux_state)
         restored = [jnp.asarray(state[f"aux_{i}"]) for i in range(len(leaves))]
         r.aux_state = jax.tree_util.tree_unflatten(treedef, restored)
+    for name in ("state", "stage"):
+        if "mk_" + name in state:
+            setattr(r, name, jnp.asarray(state["mk_" + name]))
     return r
