@@ -51,6 +51,10 @@ def _build(name):
         "room_gi": ("room", SamplingTechnique.RESTIR_GI),
         "room_gi_ref": ("room", SamplingTechnique.RESTIR_GI),
         "stress_nee": ("stress", SamplingTechnique.NEE_MIS),
+        # round-5 addition (ADVICE r4): the ReSTIR sparse/HBM DMA windows
+        # were hardware-untested — interpret mode does not check Mosaic
+        # lane alignment (PERF.md #23)
+        "stress_di": ("stress", SamplingTechnique.RESTIR_DI),
     }[name]
     res = 128 if scene_name == "stress" else 256   # keep the sparse/HBM
     # config inside the burst window (~190 ms/frame at 256²)
@@ -117,7 +121,8 @@ def main():
 
     names = os.environ.get(
         "SMOKE_CONFIGS",
-        "cornell_nee,room_nee,room_di,room_gi,room_gi_ref,stress_nee"
+        "cornell_nee,room_nee,room_di,room_gi,room_gi_ref,stress_nee,"
+        "stress_di"
     ).split(",")
     rows, ok = [], True
     for name in names:
