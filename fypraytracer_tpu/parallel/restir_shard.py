@@ -217,10 +217,6 @@ def make_restir_di_train_step(scene, mesh: Mesh, width: int, height: int,
     halo exchanges differentiated through ``ppermute`` transposes, grads
     of the replicated params psum-combined by grad-of-psum.
     """
-    import dataclasses
-
-    n_dev = mesh.devices.size
-    n_pix = width * height
 
     def pack_state(res, g):
         return dict(
@@ -232,18 +228,30 @@ def make_restir_di_train_step(scene, mesh: Mesh, width: int, height: int,
     body = _make_restir_body(width, height, settings,
                              restir_di.restir_di_part1,
                              restir_di.restir_di_part2, pack_state, axis,
-                             n_dev)
+                             mesh.devices.size)
+    return _make_restir_train_step(scene, mesh, width, height, settings,
+                                   body, restir_di.init_state, lr, axis,
+                                   fields)
+
+
+def _make_restir_train_step(scene, mesh: Mesh, width: int, height: int,
+                            settings, body, init_state_fn, lr: float,
+                            axis: str, fields: tuple | None):
+    """Shared differentiable train-step builder over a ReSTIR body (see
+    make_restir_di_train_step for the gradient design)."""
+    import dataclasses as _dc
+
+    n_dev = mesh.devices.size
+    n_pix = width * height
 
     def shard_loss(params, scene_rep, ip, iv, ppv, frame, pixel_ids, state,
                    target):
-        scene_p = dataclasses.replace(scene_rep, materials=params)
+        scene_p = _dc.replace(scene_rep, materials=params)
         state = jax.lax.stop_gradient(state)
         hdr, new_state = body(scene_p, ip, iv, ppv, frame, pixel_ids, state)
         err = hdr - target
         loss = jax.lax.psum(jnp.sum(err * err), axis) / (n_pix * 3)
         return loss, new_state
-
-    import dataclasses as _dc
 
     def shard_step(params, scene_rep, ip, iv, ppv, frame, pixel_ids, state,
                    target):
@@ -252,8 +260,8 @@ def make_restir_di_train_step(scene, mesh: Mesh, width: int, height: int,
                 params, scene_rep, ip, iv, ppv, frame, pixel_ids, state,
                 target)
         # ``fields`` restricts the SGD update (e.g. ("albedo",)): the
-        # material fields have very different curvature under this loss, so
-        # a single lr across all of them is ill-conditioned
+        # material fields have very different curvature under this loss,
+        # so a single lr across all of them is ill-conditioned
         names = (fields if fields is not None
                  else [f.name for f in _dc.fields(params)])
         upd = {}
@@ -266,7 +274,7 @@ def make_restir_di_train_step(scene, mesh: Mesh, width: int, height: int,
         return new_params, new_state, loss
 
     state_specs = jax.tree_util.tree_map(
-        lambda _: P(axis), restir_di.init_state(1, xp=np))
+        lambda _: P(axis), init_state_fn(1, xp=np))
     sharded = jax.shard_map(
         shard_step, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P(axis), state_specs,
@@ -280,13 +288,40 @@ def make_restir_di_train_step(scene, mesh: Mesh, width: int, height: int,
                        pixel_ids, state, target)
 
     def init_state():
-        st = restir_di.init_state(n_pix, xp=np)
+        st = init_state_fn(n_pix, xp=np)
         sharding = jax.tree_util.tree_map(
             lambda _: NamedSharding(mesh, P(axis)), st)
         return jax.tree_util.tree_map(
             lambda x, s: jax.device_put(jnp.asarray(x), s), st, sharding)
 
     return step, init_state
+
+
+def make_restir_gi_train_step(scene, mesh: Mesh, width: int, height: int,
+                              settings, lr: float = 0.05, axis: str = "px",
+                              fields: tuple | None = None):
+    """Differentiable ReSTIR GI: inverse rendering through the path-sample
+    reservoir estimator (Renderer.cu:2043-2387) — same detached-discrete
+    design as :func:`make_restir_di_train_step`; the continuous factors
+    (path throughput, sample radiance, p̂ = ‖L‖, reconnection shade term,
+    W) differentiate, FD-validated in tests/test_gradients.py."""
+    from fypraytracer_tpu.render import restir_gi
+
+    def pack_state(flat_res, g):
+        sample = {k[2:]: v for k, v in flat_res.items() if k.startswith("s_")}
+        return dict(
+            reservoir=dict(sample=sample, w=flat_res["w"], m=flat_res["m"],
+                           wsum=flat_res["wsum"]),
+            depth=g["t"],
+            normal_oct=encode_octahedral(g["normal"]))
+
+    body = _make_restir_body(width, height, settings,
+                             restir_gi.restir_gi_part1,
+                             restir_gi.restir_gi_part2, pack_state, axis,
+                             mesh.devices.size)
+    return _make_restir_train_step(scene, mesh, width, height, settings,
+                                   body, restir_gi.init_state, lr, axis,
+                                   fields)
 
 
 def make_restir_gi_sharded(scene, mesh: Mesh, width: int, height: int,

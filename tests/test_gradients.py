@@ -501,3 +501,49 @@ def test_train_step_with_optax_adam():
     # int leaves untouched
     np.testing.assert_array_equal(np.asarray(params.albedo_map),
                                   np.asarray(scene.materials.albedo_map))
+
+
+def test_restir_gi_inverse_rendering_recovers_albedo():
+    """Inverse rendering through the SHARDED differentiable ReSTIR GI
+    estimator (path-sample reservoirs + reconnection + halo exchange on a
+    4-device mesh) — the GI counterpart of the DI north-star test."""
+    import jax
+    import jax.numpy as jnp
+
+    from fypraytracer_tpu.config import RenderSettings, SamplingTechnique
+    from fypraytracer_tpu.parallel.restir_shard import (
+        make_restir_gi_sharded, make_restir_gi_train_step)
+    from fypraytracer_tpu.parallel.shard import make_pixel_mesh, replicate_scene
+    from fypraytracer_tpu.scene.procedural import cornell_box
+
+    W = H = 16
+    builder, cam = cornell_box(width=W, height=H, with_spheres=False)
+    scene = builder.compile()
+    mesh = make_pixel_mesh(jax.devices()[:4])
+    scene_d = replicate_scene(scene, mesh)
+    settings = RenderSettings(technique=SamplingTechnique.RESTIR_GI,
+                              bounces=2, spatial_neighbors=2,
+                              spatial_radius=3)
+    ip = jnp.asarray(cam.inv_projection)
+    iv = jnp.asarray(cam.inv_view)
+    ppv = jnp.asarray(cam.prev_proj_view)
+
+    render, init_state = make_restir_gi_sharded(scene_d, mesh, W, H, settings)
+    target, _ = render(ip, iv, ppv, jnp.uint32(1), init_state())
+
+    true_albedo = np.asarray(scene.materials.albedo)
+    params = dataclasses.replace(
+        scene_d.materials,
+        albedo=jnp.asarray(np.clip(true_albedo + 0.3, 0.0, 1.0)))
+
+    step, init_tr = make_restir_gi_train_step(scene_d, mesh, W, H, settings,
+                                              lr=5.0, fields=("albedo",))
+    state0 = init_tr()
+    losses = []
+    for _ in range(25):
+        params, _, loss = step(params, ip, iv, ppv, jnp.uint32(1), state0,
+                               target)
+        params = dataclasses.replace(params,
+                                     albedo=jnp.clip(params.albedo, 0.0, 1.0))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.2, losses[:3] + losses[-3:]
