@@ -186,6 +186,64 @@ def _render_run(scene, cam, settings, frames=None, seconds=None, impl="auto",
     return avg, n, dt / n * 1000.0, "wavefront"
 
 
+def _render_checkpointed(scene, cam, settings, frames, ckpt_dir, every,
+                         impl="auto", gi_fast=None):
+    """Long-offline-render path: accumulate ``frames`` in ``every``-frame
+    batches, checkpointing after each (utils/checkpoint.py — accumulation
+    + frame index + ReSTIR reservoir state), resuming from ``ckpt_dir``
+    if it already holds a checkpoint.  The reference's 120-min offline
+    renders (WalnutApp.cpp:23,901-905) lose everything on a crash; here
+    `cli render --checkpoint-dir D` survives restarts exactly."""
+    from fypraytracer_tpu.render.renderer import Renderer
+    from fypraytracer_tpu.utils.checkpoint import (load_checkpoint,
+                                                   save_checkpoint)
+
+    use_mk = impl != "wavefront" and (cam.width * cam.height) % 128 == 0
+    if use_mk:
+        def factory(s, c, st):
+            return _make_megakernel_renderer(s, c, st, gi_fast=gi_fast)
+    else:
+        factory = Renderer
+
+    resumed = os.path.exists(os.path.join(ckpt_dir, "meta.json"))
+    if resumed:
+        r = load_checkpoint(ckpt_dir, scene, renderer_cls=factory)
+    else:
+        r = factory(scene, cam, settings)
+    done0 = r.frame_index - 1
+    print(json.dumps({"checkpoint": ckpt_dir, "resumed": resumed,
+                      "frames_done": done0}))
+
+    t0 = time.perf_counter()
+    avg = None
+    while r.frame_index - 1 < frames:
+        n = min(every, frames - (r.frame_index - 1))
+        if use_mk:
+            avg = np.asarray(r.render_many(n))
+        else:
+            for _ in range(n):
+                avg = r.render_hdr()
+            avg = np.asarray(avg)
+        save_checkpoint(ckpt_dir, r)
+        print(json.dumps({"frames_done": r.frame_index - 1,
+                          "checkpointed": True}))
+    if avg is None:   # already complete on resume
+        if use_mk:
+            from fypraytracer_tpu.render.megakernel import _finish_avg
+            import jax.numpy as jnp
+
+            avg = np.asarray(_finish_avg(
+                r.accum, jnp.float32(max(r.frame_index - 1, 1))))
+            avg = avg.reshape(cam.height, cam.width, 3)
+        else:
+            avg = np.asarray(r.accum / max(r.frame_index - 1, 1))
+    n_new = (r.frame_index - 1) - done0
+    dt = time.perf_counter() - t0
+    ms = dt / max(n_new, 1) * 1000.0
+    return avg, r.frame_index - 1, ms, \
+        ("megakernel" if use_mk else "wavefront") + "-ckpt"
+
+
 def _save(outdir, name, hdr, settings, avg_ms, minutes, golden=None):
     from fypraytracer_tpu.core.color import finalize_pixels, to_uint8_rgb
     from fypraytracer_tpu.utils import metrics
@@ -214,11 +272,19 @@ def _save(outdir, name, hdr, settings, avg_ms, minutes, golden=None):
 def cmd_render(args):
     scene, cam = _load_scene(args)
     settings = _settings(args, _TECH[args.technique])
-    hdr, n, avg_ms, impl = _render_run(scene, cam, settings,
-                                       frames=args.frames,
-                                       seconds=args.seconds, impl=args.impl,
-                                       strict=args.strict,
-                                       gi_fast=args.gi_fast)
+    if args.checkpoint_dir:
+        if args.frames is None:
+            raise SystemExit("--checkpoint-dir requires --frames")
+        hdr, n, avg_ms, impl = _render_checkpointed(
+            scene, cam, settings, args.frames, args.checkpoint_dir,
+            args.checkpoint_every, impl=args.impl, gi_fast=args.gi_fast)
+    else:
+        hdr, n, avg_ms, impl = _render_run(scene, cam, settings,
+                                           frames=args.frames,
+                                           seconds=args.seconds,
+                                           impl=args.impl,
+                                           strict=args.strict,
+                                           gi_fast=args.gi_fast)
     base, mse, psnr = _save(args.out, args.technique, hdr, settings, avg_ms,
                             n * avg_ms / 60000.0, args.golden)
     print(json.dumps({"output": base, "frames": n,
@@ -480,6 +546,12 @@ def main(argv=None):
     r.add_argument("--golden", default=None, help="golden BMP for MSE/PSNR")
     r.add_argument("--impl", choices=["auto", "wavefront", "megakernel"],
                    default="auto", help="renderer implementation")
+    r.add_argument("--checkpoint-dir", default=None,
+                   help="checkpoint/resume directory for long renders: "
+                        "saves accumulation + reservoir state every "
+                        "--checkpoint-every frames and resumes from an "
+                        "existing checkpoint")
+    r.add_argument("--checkpoint-every", type=int, default=64)
     r.add_argument("-o", "--out", default="RenderedImages")
     r.set_defaults(fn=cmd_render)
 

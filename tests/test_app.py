@@ -232,3 +232,33 @@ def test_checkpoint_roundtrip_megakernel_restir_gi(tmp_path):
     a = np.asarray(mk.render_many(8))
     b = np.asarray(mk2.render_many(8))
     np.testing.assert_array_equal(a, b)
+
+
+def test_cli_render_checkpoint_resume(tmp_path):
+    """`cli render --checkpoint-dir`: an interrupted render resumed from
+    its checkpoint produces the SAME image as an uninterrupted run (the
+    reference's offline renders lose everything on a crash,
+    WalnutApp.cpp:901-905)."""
+    import json as _json
+
+    from fypraytracer_tpu.app import cli
+    from fypraytracer_tpu.utils.image import load_png
+
+    out_a = tmp_path / "a"
+    out_b = tmp_path / "b"
+    base = ["render", "--scene", "cornell", "--technique", "cosine",
+            "--width", "16", "--height", "16", "--impl", "wavefront",
+            "--bounces", "1"]
+    # uninterrupted 4-frame run
+    cli.main(base + ["--frames", "4", "-o", str(out_a),
+                     "--checkpoint-dir", str(tmp_path / "ck_a")])
+    # interrupted: 2 frames, then resume to 4
+    ck = str(tmp_path / "ck_b")
+    cli.main(base + ["--frames", "2", "-o", str(tmp_path / "scratch"),
+                     "--checkpoint-dir", ck])
+    cli.main(base + ["--frames", "4", "-o", str(out_b),
+                     "--checkpoint-dir", ck])
+
+    a = load_png(str(next(out_a.glob("*.png"))))
+    b = load_png(str(next(out_b.glob("*.png"))))
+    np.testing.assert_array_equal(a, b)
