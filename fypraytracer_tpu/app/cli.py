@@ -95,21 +95,26 @@ def _burst_run(mk, frames, burst, reps, idle):
 
 
 def _make_megakernel_renderer(scene, cam, settings, gi_fast=None):
+    import jax
+
+    # off-TPU the Pallas kernels run through the interpreter — slow but
+    # correct, so the CLI fast paths work on CPU-only machines too
+    interpret = jax.default_backend() == "cpu"
     tech = int(settings.technique)
     if tech == 7:      # RESTIR_DI
         from fypraytracer_tpu.render.megakernel_restir import (
             MegakernelReSTIRDI)
-        return MegakernelReSTIRDI(scene, cam, settings)
+        return MegakernelReSTIRDI(scene, cam, settings, interpret=interpret)
     if tech == 8:      # RESTIR_GI
         from fypraytracer_tpu.render.megakernel_restir_gi import (
             MegakernelReSTIRGI)
         # default (gi_fast=None -> final_vis=False unless env overrides):
         # the reference's per-neighbor visibility (Renderer.cu:2356-2366);
         # --gi-fast opts into the single winner-visibility sweep (~1.7x)
-        return MegakernelReSTIRGI(scene, cam, settings,
+        return MegakernelReSTIRGI(scene, cam, settings, interpret=interpret,
                                   final_vis=(True if gi_fast else None))
     from fypraytracer_tpu.render.megakernel import MegakernelRenderer
-    return MegakernelRenderer(scene, cam, settings)
+    return MegakernelRenderer(scene, cam, settings, interpret=interpret)
 
 
 def _render_run(scene, cam, settings, frames=None, seconds=None, impl="auto",
