@@ -152,10 +152,14 @@ def _make_restir_sharded(scene, mesh: Mesh, width: int, height: int,
 
     state_specs = jax.tree_util.tree_map(
         lambda _: P(axis), module.init_state(1, xp=np))
+    # check_vma=False: the Pallas tracer's pallas_call out_shapes carry no
+    # vma annotation, which the default varying-mesh-axes check rejects on
+    # real TPU (the CPU tests select the non-Pallas tracer and never hit
+    # it); same setting as parallel/shard.py::sharded_megakernel_render
     sharded = jax.shard_map(
         shard_step, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(axis), state_specs),
-        out_specs=(P(axis), state_specs))
+        out_specs=(P(axis), state_specs), check_vma=False)
 
     @jax.jit
     def step(inv_proj, inv_view, ppv, frame, state):
@@ -279,7 +283,7 @@ def _make_restir_train_step(scene, mesh: Mesh, width: int, height: int,
         shard_step, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P(axis), state_specs,
                   P(axis)),
-        out_specs=(P(), state_specs, P()))
+        out_specs=(P(), state_specs, P()), check_vma=False)
 
     @jax.jit
     def step(params, ip, iv, ppv, frame, state, target):

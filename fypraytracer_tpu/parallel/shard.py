@@ -65,10 +65,12 @@ def sharded_render(scene: Scene, mesh: Mesh, width: int, height: int,
                                    pixel_ids.astype(jnp.uint32), frame,
                                    settings, technique_sampler)
 
+    # check_vma=False: the Pallas tracer's pallas_call out_shapes carry
+    # no vma annotation, which the varying-mesh-axes check rejects on TPU
     shard_body = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(axis)),
-        out_specs=P(axis))
+        out_specs=P(axis), check_vma=False)
 
     @jax.jit
     def render(inv_proj, inv_view, frame):
@@ -245,7 +247,7 @@ def make_train_step(scene: Scene, mesh: Mesh, width: int, height: int,
         sharded = jax.shard_map(
             shard_step, mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(), P(), P(axis), P(axis)),
-            out_specs=(P(), P(), P()))
+            out_specs=(P(), P(), P()), check_vma=False)
 
         @jax.jit
         def step(params, inv_proj, inv_view, frame, target):
@@ -262,7 +264,7 @@ def make_train_step(scene: Scene, mesh: Mesh, width: int, height: int,
     sharded = jax.shard_map(
         shard_step, mesh=mesh,
         in_specs=(P(), opt_spec, P(), P(), P(), P(), P(axis), P(axis)),
-        out_specs=(P(), opt_spec, P()))
+        out_specs=(P(), opt_spec, P()), check_vma=False)
 
     @jax.jit
     def step_opt(params, opt_state, inv_proj, inv_view, frame, target):
