@@ -203,14 +203,29 @@ def _render_checkpointed(scene, cam, settings, frames, ckpt_dir, every,
     from fypraytracer_tpu.utils.checkpoint import (load_checkpoint,
                                                    save_checkpoint)
 
+    resumed = os.path.exists(os.path.join(ckpt_dir, "meta.json"))
     use_mk = impl != "wavefront" and (cam.width * cam.height) % 128 == 0
+    if impl == "megakernel" and not use_mk:
+        raise SystemExit(
+            "--impl megakernel requires width*height divisible by 128; "
+            f"got {cam.width}x{cam.height}")
+    if resumed:
+        # the checkpoint records which renderer wrote it (and, for GI,
+        # which visibility estimator) — resume into exactly that, never
+        # into whatever today's flags would pick
+        meta = json.load(open(os.path.join(ckpt_dir, "meta.json")))
+        saved = meta.get("renderer", {})
+        use_mk = saved.get("class", "Renderer") != "Renderer"
+        saved_fv = saved.get("final_vis")
+        if saved_fv is not None:
+            gi_fast = bool(saved_fv)
+
     if use_mk:
         def factory(s, c, st):
             return _make_megakernel_renderer(s, c, st, gi_fast=gi_fast)
     else:
         factory = Renderer
 
-    resumed = os.path.exists(os.path.join(ckpt_dir, "meta.json"))
     if resumed:
         r = load_checkpoint(ckpt_dir, scene, renderer_cls=factory)
     else:
@@ -466,10 +481,17 @@ def cmd_train(args):
         make_pixel_mesh, make_train_step, replicate_scene)
 
     scene, cam = _load_scene(args)
+    if args.technique == "restir-di":
+        if args.impl == "megakernel":
+            # the fused diff kernel trains the NEE/cosine estimator —
+            # silently returning it for an explicit ReSTIR DI request
+            # would report the wrong estimator's gradients
+            raise SystemExit("--impl megakernel trains the fused "
+                             "cosine-estimator kernel; it does not support "
+                             "--technique restir-di")
+        return _train_restir_di(args, scene, cam)
     if args.impl == "megakernel":
         return _train_fast(args, scene, cam)
-    if args.technique == "restir-di":
-        return _train_restir_di(args, scene, cam)
     settings = _settings(args, SamplingTechnique.NEE_MIS)
     mesh = make_pixel_mesh(jax.devices()[:args.devices] if args.devices else None)
     scene_d = replicate_scene(scene, mesh)

@@ -90,6 +90,14 @@ class InteractiveSession:
     def _reset(self):
         self._renderer = None
 
+    def _restart_accumulation(self):
+        """Camera/projection changes restart accumulation in place; ReSTIR
+        state persists (temporal reprojection uses the latched prev
+        matrices, WalnutApp.cpp:908-909)."""
+        if self._renderer is not None:
+            self._renderer.accum = self._renderer.accum * 0
+            self._renderer.frame_index = 1
+
     # -- commands ------------------------------------------------------------
 
     def cmd_tech(self, name):
@@ -107,38 +115,28 @@ class InteractiveSession:
     def cmd_move(self, *a):
         a = [float(x) for x in a]
         self.camera.move_to(a[:3], a[3:6] if len(a) >= 6 else None)
-        if self._renderer is not None:
-            # camera motion restarts accumulation; ReSTIR state persists
-            # (temporal reprojection uses the latched prev matrices)
-            self._renderer.accum = self._renderer.accum * 0
-            self._renderer.frame_index = 1
+        self._restart_accumulation()
 
     def cmd_fly(self, *a):
         a = [float(x) for x in a]
         self.camera.fly(1.0, forward=a[0], right=a[1], up=a[2],
                         yaw=a[3] if len(a) > 3 else 0.0,
                         pitch=a[4] if len(a) > 4 else 0.0)
-        if self._renderer is not None:
-            self._renderer.accum = self._renderer.accum * 0
-            self._renderer.frame_index = 1
+        self._restart_accumulation()
 
     def cmd_fov(self, deg):
         """Vertical field of view (the reference's camera panel edits the
         Camera ctor params, Camera.h ctor / WalnutApp.cpp:548-560)."""
         self.camera.vfov_deg = float(deg)
         self.camera._update()
-        if self._renderer is not None:
-            self._renderer.accum = self._renderer.accum * 0
-            self._renderer.frame_index = 1
+        self._restart_accumulation()
 
     def cmd_clip(self, near, far):
         """Near/far clip planes (Camera.h ctor panel)."""
         self.camera.near = float(near)
         self.camera.far = float(far)
         self.camera._update()
-        if self._renderer is not None:
-            self._renderer.accum = self._renderer.accum * 0
-            self._renderer.frame_index = 1
+        self._restart_accumulation()
 
     def cmd_restir(self, knob, val):
         """Live ReSTIR knobs (the WalnutApp.cpp:617-643 panel): editing

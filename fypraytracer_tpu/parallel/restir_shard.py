@@ -177,21 +177,35 @@ def _make_restir_sharded(scene, mesh: Mesh, width: int, height: int,
     return step, init_state
 
 
+def _di_pack_state(res, g):
+    """DI double-buffer state layout (the single source: renderer AND
+    train step share it, so a reservoir-field change cannot skew)."""
+    return dict(
+        reservoir=dict(index=res["index"], w=res["w"], pdf=res["pdf"],
+                       wsum=res["wsum"], m=res["m"]),
+        depth=g["t"],
+        normal_oct=encode_octahedral(g["normal"]))
+
+
+def _gi_pack_state(flat_res, g):
+    """GI state layout (PathSample fields flattened with s_ prefixes)."""
+    sample = {k[2:]: v for k, v in flat_res.items() if k.startswith("s_")}
+    return dict(
+        reservoir=dict(sample=sample, w=flat_res["w"], m=flat_res["m"],
+                       wsum=flat_res["wsum"]),
+        depth=g["t"],
+        normal_oct=encode_octahedral(g["normal"]))
+
+
 def make_restir_di_sharded(scene, mesh: Mesh, width: int, height: int,
                            settings, axis: str = "px"):
     """Sharded ReSTIR DI: ``(step, init_state)`` where ``step(inv_proj,
     inv_view, prev_proj_view, frame, state) -> (hdr row-sharded, state)``."""
 
-    def pack_state(res, g):
-        return dict(
-            reservoir=dict(index=res["index"], w=res["w"], pdf=res["pdf"],
-                           wsum=res["wsum"], m=res["m"]),
-            depth=g["t"],
-            normal_oct=encode_octahedral(g["normal"]))
-
     return _make_restir_sharded(scene, mesh, width, height, settings,
                                 restir_di, restir_di.restir_di_part1,
-                                restir_di.restir_di_part2, pack_state, axis)
+                                restir_di.restir_di_part2, _di_pack_state,
+                                axis)
 
 
 def make_restir_di_train_step(scene, mesh: Mesh, width: int, height: int,
@@ -222,17 +236,10 @@ def make_restir_di_train_step(scene, mesh: Mesh, width: int, height: int,
     of the replicated params psum-combined by grad-of-psum.
     """
 
-    def pack_state(res, g):
-        return dict(
-            reservoir=dict(index=res["index"], w=res["w"], pdf=res["pdf"],
-                           wsum=res["wsum"], m=res["m"]),
-            depth=g["t"],
-            normal_oct=encode_octahedral(g["normal"]))
-
     body = _make_restir_body(width, height, settings,
                              restir_di.restir_di_part1,
-                             restir_di.restir_di_part2, pack_state, axis,
-                             mesh.devices.size)
+                             restir_di.restir_di_part2, _di_pack_state,
+                             axis, mesh.devices.size)
     return _make_restir_train_step(scene, mesh, width, height, settings,
                                    body, restir_di.init_state, lr, axis,
                                    fields)
@@ -245,7 +252,6 @@ def _make_restir_train_step(scene, mesh: Mesh, width: int, height: int,
     make_restir_di_train_step for the gradient design)."""
     import dataclasses as _dc
 
-    n_dev = mesh.devices.size
     n_pix = width * height
 
     def shard_loss(params, scene_rep, ip, iv, ppv, frame, pixel_ids, state,
@@ -311,18 +317,10 @@ def make_restir_gi_train_step(scene, mesh: Mesh, width: int, height: int,
     W) differentiate, FD-validated in tests/test_gradients.py."""
     from fypraytracer_tpu.render import restir_gi
 
-    def pack_state(flat_res, g):
-        sample = {k[2:]: v for k, v in flat_res.items() if k.startswith("s_")}
-        return dict(
-            reservoir=dict(sample=sample, w=flat_res["w"], m=flat_res["m"],
-                           wsum=flat_res["wsum"]),
-            depth=g["t"],
-            normal_oct=encode_octahedral(g["normal"]))
-
     body = _make_restir_body(width, height, settings,
                              restir_gi.restir_gi_part1,
-                             restir_gi.restir_gi_part2, pack_state, axis,
-                             mesh.devices.size)
+                             restir_gi.restir_gi_part2, _gi_pack_state,
+                             axis, mesh.devices.size)
     return _make_restir_train_step(scene, mesh, width, height, settings,
                                    body, restir_gi.init_state, lr, axis,
                                    fields)
@@ -334,14 +332,7 @@ def make_restir_gi_sharded(scene, mesh: Mesh, width: int, height: int,
     PathSample payload, flattened with s_ prefixes)."""
     from fypraytracer_tpu.render import restir_gi
 
-    def pack_state(flat_res, g):
-        sample = {k[2:]: v for k, v in flat_res.items() if k.startswith("s_")}
-        return dict(
-            reservoir=dict(sample=sample, w=flat_res["w"], m=flat_res["m"],
-                           wsum=flat_res["wsum"]),
-            depth=g["t"],
-            normal_oct=encode_octahedral(g["normal"]))
-
     return _make_restir_sharded(scene, mesh, width, height, settings,
                                 restir_gi, restir_gi.restir_gi_part1,
-                                restir_gi.restir_gi_part2, pack_state, axis)
+                                restir_gi.restir_gi_part2, _gi_pack_state,
+                                axis)

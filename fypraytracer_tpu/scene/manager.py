@@ -73,11 +73,10 @@ class SceneManager:
         import numpy as np
 
         if isinstance(rgb01_or_path, str):
-            from fypraytracer_tpu.utils.image import load_bmp, load_png
+            from fypraytracer_tpu.utils.image import load_image
 
-            loader = load_bmp if rgb01_or_path.endswith(".bmp") else load_png
-            rgb8 = np.asarray(loader(rgb01_or_path))
-            rgb01 = rgb8[..., :3].astype(np.float32) / 255.0
+            # magic-byte dispatch + gray/alpha expansion to (H, W, 3)
+            rgb01 = load_image(rgb01_or_path).astype(np.float32) / 255.0
         else:
             rgb01 = np.asarray(rgb01_or_path, np.float32)
         tid = self.builder.add_texture(rgb01)

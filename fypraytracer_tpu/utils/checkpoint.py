@@ -54,6 +54,13 @@ def save_checkpoint(path: str, renderer) -> None:
         np.savez(os.path.join(path, "state.npz"), **state)
 
     meta = {
+        # the renderer implementation (and its estimator options) are part
+        # of the state: a wavefront accumulation restored into a megakernel
+        # renderer has the wrong shape, and a GI checkpoint resumed with
+        # the other visibility estimator would silently blend two
+        # estimators into one accumulation buffer
+        "renderer": {"class": type(renderer).__name__,
+                     "final_vis": getattr(renderer, "final_vis", None)},
         "settings": {k: (int(v) if isinstance(v, SamplingTechnique) else v)
                      for k, v in dataclasses.asdict(renderer.settings).items()},
         "camera": {
@@ -100,6 +107,19 @@ def load_checkpoint(path: str, scene, renderer_cls=None):
         state = ckpt.restore(os.path.join(os.path.abspath(path), "state"))
 
     r = (renderer_cls or Renderer)(scene, cam, settings)
+    saved_cls = meta.get("renderer", {}).get("class")
+    if saved_cls is not None and saved_cls != type(r).__name__:
+        raise ValueError(
+            f"checkpoint was written by {saved_cls}, not "
+            f"{type(r).__name__}: restoring across renderer "
+            "implementations mixes incompatible state layouts")
+    saved_fv = meta.get("renderer", {}).get("final_vis")
+    if saved_fv is not None and getattr(r, "final_vis", None) is not None \
+            and bool(saved_fv) != bool(r.final_vis):
+        raise ValueError(
+            f"checkpoint used final_vis={saved_fv}; resuming with "
+            f"final_vis={r.final_vis} would blend two GI estimators "
+            "into one accumulation buffer")
     r.accum = jnp.asarray(state["accum"])
     r.frame_index = int(state["frame_index"])
     if getattr(r, "aux_state", None) is not None:

@@ -383,11 +383,13 @@ def test_restir_di_inverse_rendering_recovers_albedo():
         albedo=jnp.asarray(np.clip(true_albedo + 0.3, 0.0, 1.0)))
 
     step, init_state2 = make_restir_di_train_step(scene_d, mesh, W, H,
-                                                  settings, lr=100.0,
+                                                  settings, lr=150.0,
                                                   fields=("albedo",))
     state0 = init_state2()
     losses = []
-    for i in range(25):
+    # the 4-shard estimator realization is more ill-conditioned across
+    # albedo channels than the single-device one — needs more steps
+    for i in range(60):
         # fixed frame + fresh state: each step differentiates exactly the
         # deterministic estimator realization the target was rendered with
         params, _, loss = step(params, ip, iv, ppv, jnp.uint32(1), state0,
