@@ -18,8 +18,11 @@ Commands::
     fly <fwd> <right> <up> [yaw pitch]   incremental camera motion
     fov <deg>                   vertical FOV (Camera.h ctor panel; reset)
     clip <near> <far>           clip planes (reset)
-    restir <candidates|history|neighbors|radius> <n>   live ReSTIR knobs
+    restir <candidates|history|neighbors|radius|temporal|spatial> <n>
+                                live ReSTIR knobs + reuse toggles
                                 (WalnutApp.cpp:617-643 panel; reset)
+    sky <r g b>                 sky color (settings panel; reset)
+    accumulate <0|1>            toAccumulate toggle (reset)
     mat <id> albedo r g b | roughness v | metallic v | emission r g b pow
              | map <tid>        (tid from `texture`; -1 = untextured)
     texture <path.png|bmp>      register a texture mid-session
@@ -140,12 +143,28 @@ class InteractiveSession:
 
     def cmd_restir(self, knob, val):
         """Live ReSTIR knobs (the WalnutApp.cpp:617-643 panel): editing
-        any of them resets accumulation (WalnutApp.cpp:638-643)."""
+        any of them resets accumulation (WalnutApp.cpp:638-643).
+        ``temporal``/``spatial`` are the useTemporalReuse/useSpatialReuse
+        checkboxes (RenderingSettings.h:18-19)."""
         field = {"candidates": "light_candidates",
                  "history": "temporal_history_limit",
                  "neighbors": "spatial_neighbors",
-                 "radius": "spatial_radius"}[knob]
-        self.settings = self.settings.replace(**{field: int(val)})
+                 "radius": "spatial_radius",
+                 "temporal": "temporal_reuse",
+                 "spatial": "spatial_reuse"}[knob]
+        cast = bool if field.endswith("_reuse") else int
+        self.settings = self.settings.replace(**{field: cast(int(val))})
+        self._reset()
+
+    def cmd_sky(self, r, g, b):
+        """Sky color (the settings panel's skyColor edit; reset)."""
+        self.settings = self.settings.replace(
+            sky_color=(float(r), float(g), float(b)))
+        self._reset()
+
+    def cmd_accumulate(self, val):
+        """toAccumulate toggle (RenderingSettings.h:7; reset)."""
+        self.settings = self.settings.replace(accumulate=bool(int(val)))
         self._reset()
 
     def cmd_mat(self, mid, field, *vals):

@@ -139,6 +139,10 @@ def test_interactive_texture_and_camera_knobs(tmp_path):
         "restir neighbors 2",
         "restir radius 8",
         "restir history 3",
+        "restir temporal 0",
+        "restir spatial 0",
+        "sky 0.1 0.2 0.3",
+        "accumulate 1",
         "step 1",
         "info",
         "quit",
@@ -159,4 +163,7 @@ def test_interactive_texture_and_camera_knobs(tmp_path):
     assert sess.settings.spatial_neighbors == 2
     assert sess.settings.spatial_radius == 8
     assert sess.settings.temporal_history_limit == 3
+    assert sess.settings.temporal_reuse is False
+    assert sess.settings.spatial_reuse is False
+    assert sess.settings.sky_color == (0.1, 0.2, 0.3)
     assert sess.camera.vfov_deg == 70.0 and sess.camera.far == 50.0
