@@ -54,6 +54,12 @@ BATTERY = {
     "gi_fast_1080": ("cornell", "restir-gi", (1920, 1088), 8,
                      {"gi_fast": True}),
     "stress_nee": ("stress", "nee", (256, 256), 8, {}),
+    # 256² ReSTIR rows: cheap cross-round trackers (r4 sustained refs:
+    # DI 2.6-4.4, GI-fast 6.4-7.0, GI-ref 12.0 ms/frame)
+    "di_256": ("cornell", "restir-di", (256, 256), 8, {}),
+    "gi_256": ("cornell", "restir-gi", (256, 256), 8, {}),
+    "gi_fast_256": ("cornell", "restir-gi", (256, 256), 8,
+                    {"gi_fast": True}),
 }
 
 
