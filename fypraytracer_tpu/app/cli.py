@@ -451,18 +451,22 @@ def _train_restir_di(args, scene, cam):
         albedo=jnp.clip(true_albedo + 0.25 * jax.random.normal(
             key, true_albedo.shape), 0.05, 0.95))
 
+    # scan-batch micro-steps into one dispatch: on the axon runtime every
+    # dispatch costs ~0.4 s of tunnel overhead regardless of work, so
+    # grouping is the training analog of render_many
+    group = max(min(args.steps, 10), 1)
     step, init_tr = make_restir_di_train_step(
         scene_d, mesh, cam.width, cam.height, settings,
         lr=args.lr * 500,   # DI's MSE sits ~1e-4; see test_gradients lr probe
-        fields=("albedo",))
+        fields=("albedo",), steps_per_call=group, clip01=("albedo",))
     state0 = init_tr()
-    for i in range(args.steps):
-        params, _, loss = step(params, ip, iv, ppv, jnp.uint32(1), state0,
-                               target)
-        params = dataclasses.replace(params,
-                                     albedo=jnp.clip(params.albedo, 0.0, 1.0))
-        if i % max(args.steps // 10, 1) == 0 or i == args.steps - 1:
-            print(json.dumps({"step": i, "loss": float(loss)}))
+    done = 0
+    while done < args.steps:
+        params, _, losses = step(params, ip, iv, ppv, jnp.uint32(1), state0,
+                                 target)
+        done += group
+        print(json.dumps({"step": min(done, args.steps) - 1,
+                          "loss": float(jnp.asarray(losses)[-1])}))
     err = float(jnp.abs(params.albedo - true_albedo).mean())
     print(json.dumps({"final_albedo_mae": err, "impl": "restir-di"}))
 
