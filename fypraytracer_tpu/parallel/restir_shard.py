@@ -301,13 +301,15 @@ def _make_restir_train_step(scene, mesh: Mesh, width: int, height: int,
 
         def shard_step(params, scene_rep, ip, iv, ppv, frame, pixel_ids,
                        state, target):
-            def micro(p, _):
+            # carry (params, last_state); stacking every micro-step's
+            # state would cost O(K * state) memory (800 MB at 1080p, K=10)
+            def micro(carry, _):
+                p, _unused = carry
                 p2, new_state, loss = inner(p, scene_rep, ip, iv, ppv,
                                             frame, pixel_ids, state, target)
-                return p2, (new_state, loss)
-            params, (states, losses) = jax.lax.scan(
-                micro, params, None, length=steps_per_call)
-            last_state = jax.tree_util.tree_map(lambda v: v[-1], states)
+                return (p2, new_state), loss
+            (params, last_state), losses = jax.lax.scan(
+                micro, (params, state), None, length=steps_per_call)
             return params, last_state, losses
 
     state_specs = jax.tree_util.tree_map(
