@@ -262,3 +262,30 @@ def test_cli_render_checkpoint_resume(tmp_path):
     a = load_png(str(next(out_a.glob("*.png"))))
     b = load_png(str(next(out_b.glob("*.png"))))
     np.testing.assert_array_equal(a, b)
+
+
+def test_cli_render_checkpoint_resume_megakernel(tmp_path):
+    """Checkpointed CLI render on the megakernel fast path (interpret off
+    TPU): resumed == uninterrupted, and the checkpoint meta pins the
+    renderer implementation so a resume without --impl stays megakernel."""
+    from fypraytracer_tpu.app import cli
+    from fypraytracer_tpu.utils.image import load_png
+
+    out_a = tmp_path / "a"
+    out_b = tmp_path / "b"
+    base = ["render", "--scene", "cornell", "--technique", "cosine",
+            "--width", "32", "--height", "32", "--impl", "megakernel",
+            "--bounces", "1", "--checkpoint-every", "2"]
+    cli.main(base + ["--frames", "4", "-o", str(out_a),
+                     "--checkpoint-dir", str(tmp_path / "ck_a")])
+    ck = str(tmp_path / "ck_b")
+    cli.main(base + ["--frames", "2", "-o", str(tmp_path / "scratch"),
+                     "--checkpoint-dir", ck])
+    # resume WITHOUT --impl: meta must keep it on the megakernel path
+    resume = [a for a in base if a not in ("--impl", "megakernel")]
+    cli.main(resume + ["--frames", "4", "-o", str(out_b),
+                       "--checkpoint-dir", ck])
+
+    a = load_png(str(next(out_a.glob("*.png"))))
+    b = load_png(str(next(out_b.glob("*.png"))))
+    np.testing.assert_array_equal(a, b)
