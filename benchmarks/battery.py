@@ -70,7 +70,11 @@ def _fence(x):
 
 
 def _timed(mk, frames):
-    """Net seconds for one fenced dispatch (wall minus re-fence host cost)."""
+    """(net, wall) seconds for one fenced dispatch — net subtracts the
+    re-fence host cost.  When the device work is comparable to the host
+    overhead (short 256² dispatches) the subtraction can overshoot (the
+    r3 '0.21 ms DI' artifact class, PERF.md #29) — callers must keep the
+    wall time alongside and treat tiny nets as noise (PERF.md #33)."""
     t0 = time.perf_counter()
     out = mk.render_many(frames)
     _fence(out)
@@ -78,7 +82,7 @@ def _timed(mk, frames):
     t0 = time.perf_counter()
     _fence(out)
     host = time.perf_counter() - t0
-    return max(wall - host, 1e-6)
+    return max(wall - host, 1e-6), wall
 
 
 def _state_of(anchor_ms):
@@ -121,6 +125,10 @@ def report():
                 continue
             if "config" not in r:
                 continue
+            if r.get("short_dispatch"):
+                # net time on a tiny dispatch is over-subtraction noise
+                # (PERF.md #33) — never let it become the recorded best
+                continue
             cur = best.get(r["config"])
             if cur is None or r["ms_per_frame"] < cur["ms_per_frame"]:
                 best[r["config"]] = r
@@ -161,7 +169,7 @@ def main():
 
     def probe_anchor():
         time.sleep(2.5)
-        return _timed(anchor, ANCHOR_FRAMES) / ANCHOR_FRAMES * 1000.0
+        return _timed(anchor, ANCHOR_FRAMES)[0] / ANCHOR_FRAMES * 1000.0
 
     a0 = probe_anchor()
     _append({"config": "anchor", "ms_per_frame": round(a0, 3),
@@ -169,14 +177,22 @@ def main():
 
     for name in names:
         _, _, wh, frames, _ = BATTERY[name]
-        best_ms, best_anchor = float("inf"), None
+        best_ms, best_wall, best_anchor = float("inf"), None, None
         for rep in range(reps):
             time.sleep(2.5 * (rep + 1))
-            ms = _timed(mks[name], frames) / frames * 1000.0
+            ms, wall = _timed(mks[name], frames)
+            ms = ms / frames * 1000.0
+            wall = wall / frames * 1000.0
             a = probe_anchor()        # state label for THIS window
             if ms < best_ms:
-                best_ms, best_anchor = ms, a
+                best_ms, best_wall, best_anchor = ms, wall, a
+        # short dispatches: the host-overhead subtraction is the same
+        # order as the device work, so the net can overshoot (PERF.md
+        # #33) — flag them; report() excludes flagged rows from "best"
+        short = best_wall * frames < 150.0
         _append({"config": name, "ms_per_frame": round(best_ms, 2),
+                 "wall_ms_per_frame": round(best_wall, 2),
+                 "short_dispatch": bool(short),
                  "state": _state_of(best_anchor),
                  "anchor_ms": round(best_anchor, 3),
                  "frames": frames, "wh": list(wh),
