@@ -417,22 +417,28 @@ def _train_fast(args, scene, cam):
                       "avg_step_ms": round(dt * 1000, 2)}))
 
 
-def _train_restir_di(args, scene, cam):
-    """Inverse rendering THROUGH the ReSTIR DI reservoir estimator
+def _train_restir(args, scene, cam, mode="restir-di"):
+    """Inverse rendering THROUGH the ReSTIR reservoir estimators
     (differentiable ReSTIR: detached discrete reservoir machinery,
     differentiated shade/W factors — parallel/restir_shard.py
-    ::make_restir_di_train_step; estimator Renderer.cu:1628-2041)."""
+    ::make_restir_{di,gi}_train_step; estimators Renderer.cu:1628-2041
+    (DI) and :2043-2387 (GI))."""
     import dataclasses
 
     import jax
     import jax.numpy as jnp
 
-    from fypraytracer_tpu.parallel.restir_shard import (
-        make_restir_di_sharded, make_restir_di_train_step)
+    from fypraytracer_tpu.parallel import restir_shard as RS
     from fypraytracer_tpu.parallel.shard import (
         make_pixel_mesh, replicate_scene)
 
-    settings = _settings(args, SamplingTechnique.RESTIR_DI)
+    gi = mode == "restir-gi"
+    make_restir_di_sharded = (RS.make_restir_gi_sharded if gi
+                              else RS.make_restir_di_sharded)
+    make_restir_di_train_step = (RS.make_restir_gi_train_step if gi
+                                 else RS.make_restir_di_train_step)
+    settings = _settings(args, SamplingTechnique.RESTIR_GI if gi
+                         else SamplingTechnique.RESTIR_DI)
     mesh = make_pixel_mesh(
         jax.devices()[:args.devices] if args.devices else None)
     scene_d = replicate_scene(scene, mesh)
@@ -455,9 +461,11 @@ def _train_restir_di(args, scene, cam):
     # dispatch costs ~0.4 s of tunnel overhead regardless of work, so
     # grouping is the training analog of render_many
     group = max(min(args.steps, 10), 1)
+    # lr scale per estimator (test_gradients lr probes): DI's MSE sits
+    # ~1e-4 -> lr ~100-150; GI's pixel values are larger -> lr ~5
+    lr = args.lr * (25 if gi else 500)
     step, init_tr = make_restir_di_train_step(
-        scene_d, mesh, cam.width, cam.height, settings,
-        lr=args.lr * 500,   # DI's MSE sits ~1e-4; see test_gradients lr probe
+        scene_d, mesh, cam.width, cam.height, settings, lr=lr,
         fields=("albedo",), steps_per_call=group, clip01=("albedo",))
     state0 = init_tr()
     done = 0
@@ -468,7 +476,7 @@ def _train_restir_di(args, scene, cam):
         print(json.dumps({"step": min(done, args.steps) - 1,
                           "loss": float(jnp.asarray(losses)[-1])}))
     err = float(jnp.abs(params.albedo - true_albedo).mean())
-    print(json.dumps({"final_albedo_mae": err, "impl": "restir-di"}))
+    print(json.dumps({"final_albedo_mae": err, "impl": mode}))
 
 
 def cmd_train(args):
@@ -485,15 +493,15 @@ def cmd_train(args):
         make_pixel_mesh, make_train_step, replicate_scene)
 
     scene, cam = _load_scene(args)
-    if args.technique == "restir-di":
+    if args.technique in ("restir-di", "restir-gi"):
         if args.impl == "megakernel":
             # the fused diff kernel trains the NEE/cosine estimator —
-            # silently returning it for an explicit ReSTIR DI request
+            # silently returning it for an explicit ReSTIR request
             # would report the wrong estimator's gradients
             raise SystemExit("--impl megakernel trains the fused "
                              "cosine-estimator kernel; it does not support "
-                             "--technique restir-di")
-        return _train_restir_di(args, scene, cam)
+                             f"--technique {args.technique}")
+        return _train_restir(args, scene, cam, mode=args.technique)
     if args.impl == "megakernel":
         return _train_fast(args, scene, cam)
     settings = _settings(args, SamplingTechnique.NEE_MIS)
@@ -614,10 +622,11 @@ def main(argv=None):
     t.add_argument("--impl", choices=["wavefront", "megakernel"],
                    default="wavefront",
                    help="megakernel = fused loss+albedo-grad kernel")
-    t.add_argument("--technique", choices=["nee", "restir-di"],
+    t.add_argument("--technique", choices=["nee", "restir-di", "restir-gi"],
                    default="nee",
-                   help="estimator to differentiate through; restir-di = "
-                        "pixel gradients through the reservoir estimator")
+                   help="estimator to differentiate through; restir-di/"
+                        "restir-gi = pixel gradients through the reservoir "
+                        "estimators")
     t.set_defaults(fn=cmd_train)
 
     args = p.parse_args(argv)
