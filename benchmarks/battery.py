@@ -92,6 +92,24 @@ def _state_of(anchor_ms):
     return "sustained"
 
 
+# good-window measurement priority: the flagship GI 1080p row first (the
+# BASELINE.md:39 config that has never had a full-rate direct
+# measurement), then the other 1080p rows
+FLAGSHIP_PRIORITY = ("gi_1080", "gi_fast_1080", "nee_1080", "di_1080")
+
+
+def _priority_order(names, good_window):
+    """Measurement order for the remaining configs.  Service windows flap
+    on a minutes scale (PERF.md #29-30), so when the anchor says the
+    CURRENT window is good (non-sustained), spend it on the flagship
+    1080p rows before it closes; otherwise keep the given order."""
+    names = list(names)
+    if not good_window:
+        return names
+    head = [n for n in FLAGSHIP_PRIORITY if n in names]
+    return head + [n for n in names if n not in head]
+
+
 def _make(scene_name, tech, wh, gi_fast=False):
     from fypraytracer_tpu.app.cli import _make_megakernel_renderer
     from fypraytracer_tpu.config import RenderSettings, SamplingTechnique
@@ -175,7 +193,9 @@ def main():
     _append({"config": "anchor", "ms_per_frame": round(a0, 3),
              "state": _state_of(a0), "frames": ANCHOR_FRAMES})
 
-    for name in names:
+    queue = _priority_order(names, _state_of(a0) != "sustained")
+    while queue:
+        name = queue.pop(0)
         _, _, wh, frames, _ = BATTERY[name]
         best_ms, best_wall, best_anchor = float("inf"), None, None
         for rep in range(reps):
@@ -197,6 +217,9 @@ def main():
                  "anchor_ms": round(best_anchor, 3),
                  "frames": frames, "wh": list(wh),
                  "device": jax.devices()[0].device_kind})
+        # the window can open mid-run: if the latest anchor reading says
+        # it just did, jump the flagship rows to the front of what's left
+        queue = _priority_order(queue, _state_of(best_anchor) != "sustained")
 
     report()
 

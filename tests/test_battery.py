@@ -51,3 +51,18 @@ def test_report_keeps_best_per_config(tmp_path, monkeypatch):
     assert best["nee_1080"]["ms_per_frame"] == 31.9
     assert best["nee_1080"]["state"] == "unthrottled"
     assert best["di_1080"]["ms_per_frame"] == 140.0
+
+
+def test_priority_order_flagship_first_in_good_window():
+    """When the anchor says the window is good, the flagship 1080p rows
+    (gi first — the BASELINE.md:39 config) jump the queue; in a sustained
+    window the given order is kept."""
+    b = _load_battery()
+    names = ["nee_1080", "di_1080", "gi_1080", "stress_nee", "di_256"]
+    assert b._priority_order(names, False) == names
+    good = b._priority_order(names, True)
+    assert good[:3] == ["gi_1080", "nee_1080", "di_1080"]
+    assert sorted(good) == sorted(names)          # nothing dropped
+    # mid-run requeue: only the remaining configs are considered
+    assert b._priority_order(["stress_nee", "gi_fast_1080"], True) == \
+        ["gi_fast_1080", "stress_nee"]
